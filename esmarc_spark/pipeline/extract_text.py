@@ -1,0 +1,83 @@
+"""S1 — byte-identical text extraction (html -> text), vectorized.
+
+Contract (BASELINE.json input_hint): for every url the extracted text is
+byte-identical across runs and across parallelism levels. Everything here is
+a pure function of the html bytes: a deterministic tag-strip + entity decode
++ whitespace normalization implemented over Arrow batches with pandas'
+vectorized string kernels — no locale, no hash-order, no per-row Python UDF.
+
+Rows that already carry ``text`` keep it verbatim (the reference never
+re-extracts what the source provides); ``html``-only rows get the extracted
+form. Output adds ``text_extracted`` provenance.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+from pyspark.sql.window import Window
+
+_SCRIPT_RE = re.compile(r"(?is)<(script|style|head)\b.*?</\1>")
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched html->text. Deterministic by construction."""
+    s = html.map(
+        lambda b: b.decode("utf-8", errors="replace") if b is not None else None
+    )
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    for ent, ch in _ENTITIES.items():
+        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return s
+
+
+def with_extracted_text(webtext: DataFrame) -> DataFrame:
+    """S1: fill null ``text`` from ``html``; stamp extraction provenance."""
+    extracted = F.when(
+        F.col("text").isNull() & F.col("html").isNotNull(),
+        extract_text_udf(F.col("html")),
+    )
+    return webtext.withColumn(
+        "text_extracted", F.col("text").isNull() & F.col("html").isNotNull()
+    ).withColumn("text", F.coalesce(F.col("text"), extracted))
+
+
+def dedup_by_url(webtext: DataFrame) -> DataFrame:
+    """Exactly-one-row-per-url: keep the newest crawl (max warc_ts), ties
+    broken deterministically by preferring rows that carry original text.
+
+    max_by-style dedup instead of dropDuplicates so the *choice* of survivor
+    is deterministic under any partitioning — dropDuplicates keeps an
+    arbitrary first row, which would break the byte-identity contract.
+    """
+    ranked = webtext.withColumn(
+        "_rank",
+        F.row_number().over(
+            Window.partitionBy("url").orderBy(
+                F.col("warc_ts").desc(),
+                F.col("text").isNull().asc(),
+                F.xxhash64("text").asc_nulls_last(),
+            )
+        ),
+    )
+    return ranked.where(F.col("_rank") == 1).drop("_rank")

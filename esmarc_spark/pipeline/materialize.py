@@ -1,0 +1,96 @@
+"""S5 — materialize (subj, pred, obj) JSON-LD triples from linked mentions.
+
+Emitted graph (reference-parity vocabulary — mentions / sameAs / @type /
+preferredName, cf. /root/reference/esmarc/esmarc.py:39-237 + id.py:40-50):
+
+  page node   subj = url
+      (url, "@type", "http://schema.org/CreativeWork")
+      (url, "mentions", <entity @id>)            one per detected mention
+      (url, "isBasedOn", <source partition uri>) provenance
+  entity node subj = minted "{TARGET_ID}{entity_type}/{authority_id}"
+      (entity, "@type", schema.org class)
+      (entity, "sameAs", canonical authority URI) the linking edge
+      (entity, "preferredName", deterministic min surface form)
+
+All shapes are pure DataFrame expressions; the only aggregation
+(preferredName) is a min() — skew-immune partial agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from esmarc_spark.lookups.dims import TARGET_ID
+
+TRIPLE_SCHEMA = "subj string, pred string, obj string"
+
+_SCHEMA_CLASS = {
+    "persons": "http://schema.org/Person",
+    "organizations": "http://schema.org/Organization",
+    "geo": "http://schema.org/Place",
+    "topics": "http://schema.org/Thing",
+    "works": "http://schema.org/CreativeWork",
+    "events": "http://schema.org/Event",
+    "resources": "http://schema.org/CreativeWork",
+}
+
+
+def entity_id_col() -> F.Column:
+    return F.concat(
+        F.lit(TARGET_ID), F.col("entity_type"), F.lit("/"), F.col("authority_id")
+    )
+
+
+def linked_to_triples(linked: DataFrame, source_index: str = "webtext") -> DataFrame:
+    """Linked mention rows -> the full triple set (union of typed shapes)."""
+    entity_id = entity_id_col()
+    schema_class = F.create_map(
+        *[F.lit(x) for kv in _SCHEMA_CLASS.items() for x in kv]
+    )
+
+    pages = linked.select("url").distinct()
+    page_type = pages.select(
+        F.col("url").alias("subj"),
+        F.lit("@type").alias("pred"),
+        F.lit("http://schema.org/CreativeWork").alias("obj"),
+    )
+    page_prov = pages.select(
+        F.col("url").alias("subj"),
+        F.lit("isBasedOn").alias("pred"),
+        F.concat(F.lit(f"{TARGET_ID}source/{source_index}/"), F.col("url")).alias("obj"),
+    )
+    page_mentions = linked.select(
+        F.col("url").alias("subj"),
+        F.lit("mentions").alias("pred"),
+        entity_id.alias("obj"),
+    ).distinct()
+
+    entities = (
+        linked.groupBy("entity_type", "authority_id", "canonical_url")
+        .agg(F.min("surface_form").alias("preferred_name"))
+    )
+    entity_type_triples = entities.select(
+        entity_id.alias("subj"),
+        F.lit("@type").alias("pred"),
+        schema_class[F.col("entity_type")].alias("obj"),
+    )
+    entity_same_as = entities.select(
+        entity_id.alias("subj"),
+        F.lit("sameAs").alias("pred"),
+        F.col("canonical_url").alias("obj"),
+    )
+    entity_name = entities.select(
+        entity_id.alias("subj"),
+        F.lit("preferredName").alias("pred"),
+        F.col("preferred_name").alias("obj"),
+    )
+
+    return (
+        page_type.unionAll(page_prov)
+        .unionAll(page_mentions)
+        .unionAll(entity_type_triples)
+        .unionAll(entity_same_as)
+        .unionAll(entity_name)
+        .distinct()
+    )

@@ -1,0 +1,85 @@
+"""Connected-components correctness vs a union-find oracle, incl. the
+FIXTURES.md §4 shapes: cluster sizes {1,2,5,50}, a 20-chain, a skew hub."""
+
+import random
+
+from esmarc_spark.pipeline.canonicalize import (
+    canonical_mapping,
+    connected_components,
+    rewrite_through_canonical,
+)
+
+
+def _oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    want = _oracle(edges)
+    # canonical = min uri of component: re-root the oracle labels
+    comp_min = {}
+    for n, c in want.items():
+        comp_min[c] = min(comp_min.get(c, n), n)
+    want = {n: comp_min[c] for n, c in want.items()}
+    assert got == want
+
+
+def test_cc_fixture_shapes(spark):
+    edges = []
+    # cluster sizes 2 and 5 via spanning trees + extra edges
+    edges += [("b1", "b2")]
+    edges += [("c1", "c2"), ("c2", "c3"), ("c1", "c4"), ("c4", "c5"), ("c3", "c5")]
+    # chain of 20 (iteration-count test)
+    chain = [f"n{i:02d}" for i in range(20)]
+    edges += list(zip(chain, chain[1:]))
+    # hub with high degree (skew test)
+    edges += [("hub", f"h{i:03d}") for i in range(60)]
+    _check(spark, edges)
+
+
+def test_cc_random_graphs(spark):
+    rng = random.Random(42)
+    nodes = [f"v{i:03d}" for i in range(120)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_cc_idempotent_and_singletons(spark):
+    edges = [("x1", "x2"), ("x2", "x1"), ("x1", "x2")]  # dup + reversed
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    assert got == {("x1", "x1"), ("x2", "x1")}
+
+
+def test_rewrite_through_canonical(spark):
+    edges = spark.createDataFrame(
+        [("http://b", "http://a"), ("http://c", "http://b")], "src string, dst string"
+    )
+    mapping = canonical_mapping(edges)
+    df = spark.createDataFrame(
+        [("r1", "http://c"), ("r2", "http://zzz")], "id string, uri string"
+    )
+    out = {(r.id, r.uri) for r in rewrite_through_canonical(df, mapping, "uri").collect()}
+    assert out == {("r1", "http://a"), ("r2", "http://zzz")}

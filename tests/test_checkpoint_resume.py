@@ -1,0 +1,63 @@
+"""Kill/rerun resumability: an interrupted incremental run, resumed, must
+produce byte-identical output to one uninterrupted run — no duplicates —
+and per-partition lineage rows must exist (north_rule)."""
+
+import pytest
+
+from esmarc_spark.pipeline.run import run_incremental
+from esmarc_spark.pipeline.webtext import gazetteer_df, synth_webtext
+
+
+@pytest.fixture()
+def inputs(spark):
+    # 3 distinct warc_ts days
+    from pyspark.sql import functions as F
+
+    wt = synth_webtext(spark, n_docs=120, partitions=4, dup_fraction=0).withColumn(
+        "warc_ts",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod(F.xxhash64("url"), F.lit(3)) * 86400
+        ),
+    )
+    return wt.cache(), gazetteer_df(spark)
+
+
+def _read_triples(spark, root):
+    return {
+        (r.subj, r.pred, r.obj, r.pday)
+        for r in spark.read.parquet(f"{root}/triples").collect()
+    }
+
+
+def test_kill_and_resume(spark, tmp_path, inputs):
+    webtext, gaz = inputs
+    golden_root = str(tmp_path / "golden")
+    run_incremental(spark, webtext, gaz, golden_root)
+    golden = _read_triples(spark, golden_root)
+
+    resumed_root = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_incremental(spark, webtext, gaz, resumed_root, fail_after_partitions=1)
+    # resume: must skip the completed partition and finish the rest
+    summary = run_incremental(spark, webtext, gaz, resumed_root)
+    assert summary["skipped_done"], "resume did not skip completed partitions"
+    assert _read_triples(spark, resumed_root) == golden
+
+    # idempotency: a third run processes nothing and changes nothing
+    summary3 = run_incremental(spark, webtext, gaz, resumed_root)
+    assert summary3["processed"] == []
+    assert _read_triples(spark, resumed_root) == golden
+
+
+def test_lineage_metrics(spark, tmp_path, inputs):
+    webtext, gaz = inputs
+    root = str(tmp_path / "lineage")
+    from esmarc_spark.pipeline.checkpoint import CheckpointStore
+
+    run_incremental(spark, webtext, gaz, root)
+    lineage = CheckpointStore(spark, root).lineage().collect()
+    assert len(lineage) == 3  # one row per day partition
+    for row in lineage:
+        assert row.status == "done"
+        assert row.n_docs > 0 and row.n_triples > 0
+        assert row.watermark_ts is not None and row.wall_sec > 0

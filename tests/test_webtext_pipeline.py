@@ -1,0 +1,138 @@
+"""End-to-end tests for the webtext KG pipeline (S0-S5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from esmarc_spark.pipeline.extract_text import dedup_by_url, with_extracted_text
+from esmarc_spark.pipeline.link import count_mentions_salted, link_mentions
+from esmarc_spark.pipeline.materialize import linked_to_triples
+from esmarc_spark.pipeline.mentions import detect_mentions, detect_mentions_tokenized
+from esmarc_spark.pipeline.run import run_pipeline
+from esmarc_spark.pipeline.webtext import GAZETTEER_ROWS, gazetteer_df, synth_webtext
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def webtext(spark):
+    return synth_webtext(spark, n_docs=N_DOCS, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def gazetteer(spark):
+    return gazetteer_df(spark).cache()
+
+
+def test_webtext_shape_and_modes(webtext):
+    rows = webtext.collect()
+    assert len(rows) > N_DOCS  # duplicates present
+    html_only = [r for r in rows if r.html is not None and r.text is None]
+    text_only = [r for r in rows if r.html is None and r.text is not None]
+    both = [r for r in rows if r.html is not None and r.text is not None]
+    assert html_only and text_only and both
+
+
+def test_extract_text_byte_identity(webtext):
+    """For rows carrying both html and text, extraction of the html must
+    reproduce the text byte-identically."""
+    from esmarc_spark.pipeline.extract_text import extract_text_udf
+
+    both = webtext.where(F.col("html").isNotNull() & F.col("text").isNotNull())
+    checked = both.select(
+        "url", "text", extract_text_udf(F.col("html")).alias("extracted")
+    )
+    mismatches = checked.where(F.col("text") != F.col("extracted")).collect()
+    assert mismatches == []
+
+
+def test_extract_fills_html_only_rows(webtext):
+    docs = with_extracted_text(webtext)
+    assert docs.where(F.col("text").isNull()).count() == 0
+    assert docs.where(F.col("text_extracted")).count() > 0
+
+
+def test_dedup_by_url_deterministic(webtext):
+    docs = dedup_by_url(with_extracted_text(webtext))
+    assert docs.count() == N_DOCS
+    assert docs.groupBy("url").count().where(F.col("count") > 1).count() == 0
+    # determinism: same survivors on a different partitioning
+    docs2 = dedup_by_url(with_extracted_text(webtext.repartition(13)))
+    a = {(r.url, r.text) for r in docs.collect()}
+    b = {(r.url, r.text) for r in docs2.collect()}
+    assert a == b
+
+
+def test_detect_mentions_exact(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "archive Frankfurt am Main record Dresden.", "de"),
+            ("u2", "nothing here", "en"),
+            ("u3", None, "en"),
+            ("u4", "GermanyX is not Germany", "en"),  # word-boundary check
+        ],
+        "url string, text string, lang string",
+    )
+    out = detect_mentions(df, [s for s, _, _, _ in GAZETTEER_ROWS])
+    rows = {(r.url, r.surface_form, r.position) for r in out.collect()}
+    assert ("u1", "Frankfurt am Main", 8) in rows
+    assert ("u1", "Dresden", 33) in rows
+    assert ("u4", "Germany", 16) in rows  # only the standalone one
+    assert not any(u == "u2" or u == "u3" for u, _, _ in rows)
+    # longest-match-first: no bare "Frankfurt" hit inside the longer form
+    assert not any(s == "Frankfurt" for _, s, _ in rows)
+
+
+def test_tokenized_path_agrees_on_single_token_forms(webtext, gazetteer):
+    docs = dedup_by_url(with_extracted_text(webtext))
+    single = [s for s, _, _, _ in GAZETTEER_ROWS if " " not in s]
+    regex_based = detect_mentions(docs, single)
+    token_based = detect_mentions_tokenized(
+        docs, gazetteer.where(~F.col("surface_form").contains(" "))
+    )
+    a = {(r.url, r.surface_form) for r in regex_based.collect()}
+    b = {(r.url, r.surface_form) for r in token_based.collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_link_and_salted_counts(webtext, gazetteer):
+    docs = dedup_by_url(with_extracted_text(webtext))
+    mentions = detect_mentions(docs, [s for s, _, _, _ in GAZETTEER_ROWS])
+    linked = link_mentions(mentions, gazetteer)
+    direct = {
+        (r.canonical_url, r.n_mentions)
+        for r in linked.groupBy("canonical_url", "entity_type")
+        .agg(F.count("*").alias("n_mentions"))
+        .collect()
+    }
+    salted = {
+        (r.canonical_url, r.n_mentions)
+        for r in count_mentions_salted(linked, n_salts=8).collect()
+    }
+    assert direct == salted
+    # ambiguity fan-out: "Georgia" links to two authority ids
+    georgia = linked.where(F.col("surface_form") == "Georgia")
+    if georgia.count():
+        assert georgia.select("authority_id").distinct().count() == 2
+
+
+def test_triples_shapes(webtext, gazetteer):
+    triples = run_pipeline(webtext, gazetteer)
+    rows = triples.collect()
+    preds = {r.pred for r in rows}
+    assert {"@type", "mentions", "sameAs", "preferredName", "isBasedOn"} <= preds
+    # every mentions object is a minted entity id with a sameAs edge
+    minted = {r.subj for r in rows if r.pred == "sameAs"}
+    mentioned = {r.obj for r in rows if r.pred == "mentions"}
+    assert mentioned <= minted
+    # determinism across runs
+    rows2 = run_pipeline(webtext, gazetteer).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_zipf_head_present(webtext, gazetteer):
+    """~30% of docs mention Germany — the skew the salted agg handles."""
+    docs = dedup_by_url(with_extracted_text(webtext))
+    mentions = detect_mentions(docs, ["Germany"])
+    n = mentions.select("url").distinct().count()
+    assert n >= N_DOCS * 0.2
