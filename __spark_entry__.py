@@ -1,38 +1,231 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG-construction query (documents -> triples).
+``queries()``    — one entry per implemented operator family (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query; the driver runs
+both sides at sf=0.01 and compares row-count + schema + value hash.
+
+Column names/types are aligned between each Spark plan and its oracle;
+floating-point outputs are computed order-independently (exact decimal sums
+or sequential array folds) and rounded at the boundary.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package zip to executors (the driver may have built its own
+    SparkSession without our session factory)."""
+    from esmarc_spark.deploy import package_zip
+
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added under the same content hash
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG triples over the sf0.001 documents table (tokenize ->
+    broadcast gazetteer link -> typed triple materialization)."""
+    _ensure_shipped(spark)
+    from esmarc_spark.ops.kg_documents import doc_triples
+
+    return doc_triples(_t(spark, "/root/testdata/sf0.001", "documents"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from esmarc_spark.ops import dedup, kg_documents, relational, similarity, text
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def kg_mentions(spark, sf):
+        return kg_documents.doc_mentions(_t(spark, sf, "documents"))
+
+    def kg_entity_counts(spark, sf):
+        return kg_documents.doc_entity_counts(_t(spark, sf, "documents"))
+
+    def kg_triples(spark, sf):
+        return kg_documents.doc_triples(_t(spark, sf, "documents"))
+
+    def kg_cooccurrence(spark, sf):
+        return kg_documents.doc_entity_cooccurrence(_t(spark, sf, "documents"))
+
+    def tpch_q1(spark, sf):
+        return relational.q1_pricing_summary(_t(spark, sf, "lineitem"))
+
+    def tpch_q3(spark, sf):
+        return relational.q3_top_orders(
+            _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+        )
+
+    def tpch_q5(spark, sf):
+        return relational.q5_nation_revenue(
+            _t(spark, sf, "customer"),
+            _t(spark, sf, "orders"),
+            _t(spark, sf, "lineitem"),
+            _t(spark, sf, "nation"),
+            _t(spark, sf, "region"),
+        )
+
+    def semi_join_idfile(spark, sf):
+        return relational.semi_join_idfile(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
+
+    def anti_join_unmatched(spark, sf):
+        return relational.anti_join_unmatched(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
+
+    def events_hourly(spark, sf):
+        return relational.events_hourly_rollup(_t(spark, sf, "events"))
+
+    def events_sessions(spark, sf):
+        return relational.events_sessionize(_t(spark, sf, "events"))
+
+    def text_stats(spark, sf):
+        return text.text_stats(_t(spark, sf, "documents"))
+
+    def dedup_exact_groups(spark, sf):
+        from pyspark.sql import functions as F
+
+        return (
+            dedup.exact_duplicate_groups(_t(spark, sf, "documents"))
+            .select(
+                "fingerprint",
+                "n_docs",
+                F.element_at("doc_ids", 1).alias("first_doc"),
+            )
+        )
+
+    def dedup_lsh_pairs(spark, sf):
+        return dedup.lsh_candidate_pairs(_t(spark, sf, "documents"))
+
+    def dedup_jaccard(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return dedup.ngram_jaccard(docs, dedup.lsh_candidate_pairs(docs))
+
+    def dedup_simhash(spark, sf):
+        return dedup.simhash(_t(spark, sf, "documents"))
+
+    def sim_topk(spark, sf):
+        from pyspark.sql import functions as F
+
+        emb = _t(spark, sf, "embeddings")
+        return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+    def marc_fixture_triples(spark, sf):
+        # non-SQL-expressible (nested JSON mini-language); rows-only check
+        import json
+
+        from esmarc_spark.mapping.engine import TRIPLES_SCHEMA, triples_batches
+
+        _ensure_shipped(spark)
+        fixture_dir = Path("/root/reference/tests/in")
+        rows = [(p.name, p.read_text()) for p in sorted(fixture_dir.iterdir())]
+        df = spark.createDataFrame(rows, "record_id string, marc_json string")
+        return df.mapInPandas(triples_batches, schema=TRIPLES_SCHEMA)
+
+    return {
+        "kg_mentions": kg_mentions,
+        "kg_entity_counts": kg_entity_counts,
+        "kg_triples": kg_triples,
+        "kg_cooccurrence": kg_cooccurrence,
+        "tpch_q1": tpch_q1,
+        "tpch_q3": tpch_q3,
+        "tpch_q5": tpch_q5,
+        "semi_join_idfile": semi_join_idfile,
+        "anti_join_unmatched": anti_join_unmatched,
+        "events_hourly": events_hourly,
+        "events_sessions": events_sessions,
+        "text_stats": text_stats,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_lsh_pairs": dedup_lsh_pairs,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "sim_topk": sim_topk,
+        "marc_fixture_triples": marc_fixture_triples,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from esmarc_spark.ops import dedup, kg_documents, relational, text
+
+    text_stats_sql = f"""
+SELECT doc_id,
+       cast({text.TOKEN_COUNT_SQL} AS bigint) AS n_tokens,
+       {text.DISTINCT_TOKEN_RATIO_SQL} AS distinct_ratio,
+       {text.MEAN_TOKEN_LEN_SQL} AS mean_token_len,
+       {text.stopword_ratio_sql()} AS stopword_ratio,
+       {text.LANG_GUESS_SQL} AS lang_guess,
+       {text.QUALITY_SCORE_SQL} AS quality,
+       {text.FINGERPRINT_SQL} AS fingerprint
+FROM documents
+"""
+
+    sim_topk_sql = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> cast(e.embedding[i] AS double) * cast(q.q_emb[i] AS double)))
+           / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> cast(e.embedding[i] AS double) * cast(e.embedding[i] AS double))))
+            * sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+                    i -> cast(q.q_emb[i] AS double) * cast(q.q_emb[i] AS double))))),
+         6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id,
+       cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS int) AS rank,
+       vec_id, cosine
+FROM scored
+QUALIFY rank <= 5
+"""
+
+    return {
+        "kg_mentions": kg_documents.DOC_MENTIONS_SQL,
+        "kg_entity_counts": kg_documents.DOC_ENTITY_COUNTS_SQL,
+        "kg_triples": kg_documents.DOC_TRIPLES_SQL,
+        "kg_cooccurrence": kg_documents.DOC_COOCCURRENCE_SQL,
+        "tpch_q1": relational.Q1_SQL,
+        "tpch_q3": relational.Q3_SQL,
+        "tpch_q5": relational.Q5_SQL,
+        "semi_join_idfile": relational.SEMI_JOIN_SQL,
+        "anti_join_unmatched": relational.ANTI_JOIN_SQL,
+        "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "events_sessions": relational.events_sessionize_sql(),
+        "text_stats": text_stats_sql,
+        "dedup_exact_groups": dedup.FINGERPRINT_GROUPS_SQL,
+        "dedup_lsh_pairs": dedup.lsh_pairs_sql(),
+        "dedup_jaccard": dedup.jaccard_pairs_sql(),
+        "dedup_simhash": dedup.simhash_sql(),
+        "sim_topk": sim_topk_sql,
+        # marc_fixture_triples: intentionally no oracle (nested-JSON
+        # mini-language not expressible in ANSI SQL) -> rows-only check
+    }

@@ -1,0 +1,330 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-conscious and all engine-portable (verified
+against DuckDB through __spark_entry__):
+
+* exact          — fingerprint groupBy (map-side partial agg, one shuffle on
+                   the 128-bit digest; uniform keys, no skew possible)
+* MinHash + LSH  — shingle -> k salted min-hashes -> b bands; candidate
+                   pairs only ever join *within a band bucket*, so the
+                   quadratic blowup is bounded by bucket size, and the band
+                   shuffle key (band_id, band_hash) is high-cardinality
+* SimHash        — 32-bit sign-aggregated token hash; near-dups differ in
+                   few bits; one map-only projection
+* n-gram Jaccard — exact similarity, computed only for LSH candidate pairs
+                   (never all-pairs)
+
+MinHash math: P[minhash collision] = Jaccard; banding amplifies: two docs
+land in the same bucket with prob 1-(1-J^r)^b for b bands of r rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from esmarc_spark.ops.hashing import portable_hash, salted_hash
+from esmarc_spark.ops.text import fingerprint, tokens_col
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(documents: DataFrame) -> DataFrame:
+    """(fingerprint, n_docs, doc_ids) for every group of byte-equal texts."""
+    return (
+        documents.select(F.col("doc_id"), fingerprint().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+    )
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Keep exactly one doc per fingerprint: deterministic min(doc_id)
+    survivor (min_by would also work; min keeps the plan agg-only)."""
+    survivors = (
+        documents.select("doc_id", fingerprint().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return documents.join(survivors.select("doc_id"), "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text="text", k: int = 3) -> F.Column:
+    """k-token shingles as an array<string> (empty-safe: Spark's sequence()
+    generates *descending* ranges when start > stop, so short texts need an
+    explicit empty-array branch)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+# universal-hash family over a 32-bit base hash: h_i(s) = (a_i*H32(s)+b_i) % P
+# P Mersenne-31; a_i*h < 2^60 so the arithmetic never overflows int64 —
+# exactly one md5 per shingle regardless of num_hashes.
+MINHASH_P = 2**31 - 1
+
+
+def _mh_a(i: int) -> int:
+    return 1_000_003 + 97 * i
+
+
+def _mh_b(i: int) -> int:
+    return 12_345 + 31 * i
+
+
+def base_hash32(col) -> F.Column:
+    """32-bit portable hash (8 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 16, shingle_k: int = 3
+) -> DataFrame:
+    """doc_id + mh_0..mh_{n-1} min-hash columns.
+
+    Physical shape chosen for scale: explode shingles -> ONE md5 per shingle
+    -> num_hashes affine transforms (pure integer codegen) -> groupBy(doc_id)
+    with map-side partial min, so the shuffle carries one row per doc.
+    Docs with < shingle_k tokens have no shingles and drop out (same on the
+    oracle side).
+    """
+    sh = documents.select(
+        "doc_id", F.explode(shingles_col(k=shingle_k)).alias("s")
+    ).select("doc_id", base_hash32(F.col("s")).alias("h"))
+    aggs = [
+        F.min(
+            (F.lit(_mh_a(i)) * F.col("h") + F.lit(_mh_b(i))) % F.lit(MINHASH_P)
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_buckets(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(band, band_key, doc_id): band_key = hash of the band's signature
+    slice. Docs sharing (band, band_key) are near-dup candidates.
+
+    All bands are computed in ONE pass over the signatures (array of structs
+    + posexplode) — a union of per-band selects would re-scan the signature
+    relation once per band."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                portable_hash(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"), "doc_id"
+    )
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from LSH banding.
+
+    The self-join is on (band, band_key) — high-cardinality keys, so the
+    shuffle is uniform; bucket sizes bound the pair fan-out.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, shingle_k)
+    # the self-join reads the bucket relation twice — materialize it once
+    # (tiny: docs × bands rows) instead of recomputing shingle hashing per side
+    buckets = lsh_buckets(sig, bands, rows_per_band).localCheckpoint(eager=False)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate verification)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(
+    documents: DataFrame, pairs: DataFrame, shingle_k: int = 3, round_n: int = 6
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for given (doc_a, doc_b)
+    pairs; join is on doc ids (uniform), set math is array ops in codegen."""
+    sh = documents.select(
+        "doc_id", F.array_distinct(shingles_col(k=shingle_k)).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter.cast("double") / union, round_n).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): sign-aggregate of per-token hash bits.
+
+    bit b of simhash = 1 iff sum over tokens of (token_hash bit b ? +1 : -1)
+    > 0. Map-only; near-duplicate docs differ in O(few) bits (compare with
+    bit_count(xor) downstream).
+    """
+    toks = F.array_distinct(tokens_col())
+    th = F.transform(toks, lambda t: salted_hash(t, 99))
+
+    def bit_sum(b: int):
+        # NB: a plain 2-arg lambda is required — F.aggregate dispatches on
+        # lambda arity, so a `b=b` default arg breaks it
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(th, F.lit(0).cast("long"), merge)
+
+    bit_sums = [bit_sum(b) for b in range(bits)]
+    value = None
+    for b, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        value = term if value is None else value + term
+    return documents.select("doc_id", value.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# ANSI-SQL renderings (DuckDB oracle side) — kept adjacent to the Spark
+# builders above so parity is auditable line-by-line.
+# ---------------------------------------------------------------------------
+
+from esmarc_spark.ops.hashing import portable_hash_sql, salted_hash_sql  # noqa: E402
+
+FINGERPRINT_GROUPS_SQL = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS first_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+def _shingles_sql(k: int = 3) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return (
+        f"list_transform(range(1, len(toks) - {k - 2}), i -> {parts})"
+    )
+
+
+def minhash_sql(num_hashes: int = 16, shingle_k: int = 3) -> str:
+    """Per-doc minhash signature columns mh_0..mh_{n-1} (same universal-hash
+    family as minhash_signatures)."""
+    cols = ",\n       ".join(
+        f"min(({_mh_a(i)} * h + {_mh_b(i)}) % {MINHASH_P}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+SELECT doc_id,
+       {cols}
+FROM (
+  SELECT doc_id,
+         cast('0x' || substr(md5(unnest(sh)), 1, 8) AS bigint) AS h
+  FROM (SELECT doc_id, {_shingles_sql(shingle_k)} AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+)
+GROUP BY doc_id
+"""
+
+
+def lsh_pairs_sql(num_hashes: int = 16, bands: int = 4, shingle_k: int = 3) -> str:
+    rows_per_band = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        slice_concat = " || '|' || ".join(
+            f"cast(mh_{b * rows_per_band + r} AS varchar)"
+            for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT {b} AS band, {portable_hash_sql(f'({slice_concat})')} AS band_key, doc_id FROM sig"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sig AS ({minhash_sql(num_hashes, shingle_k)}),
+buckets AS ({buckets})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def jaccard_pairs_sql(num_hashes: int = 16, bands: int = 4, shingle_k: int = 3, round_n: int = 6) -> str:
+    return f"""
+WITH pairs AS ({lsh_pairs_sql(num_hashes, bands, shingle_k)}),
+sh AS (SELECT doc_id, list_distinct({_shingles_sql(shingle_k)}) AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+SELECT p.doc_a, p.doc_b,
+       round(cast(len(list_intersect(a.sh, b.sh)) AS double)
+             / len(list_distinct(list_concat(a.sh, b.sh))), {round_n}) AS jaccard
+FROM pairs p
+JOIN sh a ON p.doc_a = a.doc_id
+JOIN sh b ON p.doc_b = b.doc_id
+"""
+
+
+def simhash_sql(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN cast({2**b} AS bigint) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+SELECT doc_id, ({terms}) AS simhash
+FROM (SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                            t -> {salted_hash_sql('t', 99)}) AS th
+      FROM documents)
+"""

@@ -1,0 +1,40 @@
+"""Portable deterministic hashing shared by dedup / similarity operators.
+
+Engine-portable 60-bit hash: ``bigint(hex(md5(s)[:15]))`` — md5 is identical
+everywhere, 15 hex chars fit a signed 64-bit int, and the same value is
+expressible in Spark SQL and ANSI/DuckDB SQL, which is what lets every
+hash-based operator here be verified against an independent engine.
+
+Spark:  conv(substring(md5(s), 1, 15), 16, 10)::long
+DuckDB: cast('0x' || substr(md5(s), 1, 15) as bigint)
+
+xxhash64 would be faster but is Spark-private; md5 keeps the oracle exact.
+Swap PORTABLE=False for xxhash64 in production runs where cross-engine
+verification isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def portable_hash(col: Column | str) -> Column:
+    """60-bit deterministic hash of a string column (JVM-side, codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash_sql(expr: str) -> str:
+    """The DuckDB-side rendering of portable_hash for oracle queries."""
+    return f"cast('0x' || substr(md5({expr}), 1, 15) as bigint)"
+
+
+def salted_hash(col: Column | str, salt: int) -> Column:
+    """Family of independent hash functions h_i(s) = H(s || '#' || i)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return portable_hash(F.concat(c, F.lit(f"#{salt}")))
+
+
+def salted_hash_sql(expr: str, salt: int) -> str:
+    return portable_hash_sql(f"{expr} || '#{salt}'")

@@ -1,0 +1,223 @@
+"""KG construction over the driver's ``documents`` table — the
+oracle-checkable instantiation of the S2→S5 pipeline (mention detection,
+entity linking, triple materialization) with a DuckDB-verifiable plan.
+
+The gazetteer here is a deterministic inline dim over the documents
+vocabulary, including a synonym pair (``sort``/``order`` -> same authority)
+and an ambiguous surface (``scan`` -> two authorities), mirroring
+FIXTURES.md §3. The same dim is rendered as a SQL VALUES clause for the
+oracle, so Spark and DuckDB see identical reference data.
+
+Plan shape = the production pipeline's: tokenize/explode -> broadcast join
+-> dedup/agg -> union of triple shapes. Mentions positions are 0-based
+token indices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# (surface_form, entity_type, authority_id) — vocabulary-anchored
+DOC_GAZETTEER = [
+    ("spark", "topics", "4055209-1"),
+    ("customer", "persons", "1000001-1"),
+    ("table", "works", "3000001-2"),
+    ("join", "topics", "4200001-3"),
+    ("window", "geo", "4300001-4"),
+    ("stream", "geo", "4300002-5"),
+    ("vector", "works", "3000002-6"),
+    ("merge", "events", "5000001-7"),
+    ("hash", "organizations", "2000001-8"),
+    # synonym pair: two surfaces, one authority
+    ("sort", "topics", "4500001-0"),
+    ("order", "topics", "4500001-0"),
+    # ambiguous surface: one surface, two authorities
+    ("scan", "topics", "4600001-1"),
+    ("scan", "works", "3000003-9"),
+]
+
+TARGET = "https://data.slub-dresden.de/"
+GND = "https://d-nb.info/gnd/"
+
+_SCHEMA_CLASS = {
+    "persons": "http://schema.org/Person",
+    "organizations": "http://schema.org/Organization",
+    "geo": "http://schema.org/Place",
+    "topics": "http://schema.org/Thing",
+    "works": "http://schema.org/CreativeWork",
+    "events": "http://schema.org/Event",
+}
+
+
+def gazetteer_values_sql() -> str:
+    """The same gazetteer as a SQL VALUES relation (for the DuckDB oracle)."""
+    rows = ", ".join(
+        f"('{s}', '{t}', '{a}')" for s, t, a in DOC_GAZETTEER
+    )
+    return f"(VALUES {rows}) AS gaz(surface_form, entity_type, authority_id)"
+
+
+def doc_gazetteer(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        DOC_GAZETTEER, "surface_form string, entity_type string, authority_id string"
+    )
+
+
+def doc_mentions(documents: DataFrame) -> DataFrame:
+    """(doc_id, position, surface_form, entity_type, authority_id):
+    posexplode(split) ⋈ broadcast(gazetteer). Ambiguity fans out."""
+    gaz = doc_gazetteer(documents.sparkSession)
+    tokens = documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("position", "surface_form")
+    )
+    return (
+        tokens.join(F.broadcast(gaz), "surface_form")
+        .select(
+            "doc_id",
+            F.col("position").cast("long").alias("position"),
+            "surface_form",
+            "entity_type",
+            "authority_id",
+        )
+    )
+
+
+DOC_MENTIONS_SQL = f"""
+SELECT t.doc_id,
+       cast(t.position - 1 AS bigint) AS position,
+       t.surface_form,
+       gaz.entity_type,
+       gaz.authority_id
+FROM (
+    SELECT doc_id,
+           generate_subscripts(toks, 1) AS position,
+           unnest(toks) AS surface_form
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+) t
+JOIN {gazetteer_values_sql()} USING (surface_form)
+"""
+
+
+def doc_entity_counts(documents: DataFrame) -> DataFrame:
+    """Mentions + distinct-doc frequency per linked entity (skew-tolerant:
+    partial aggregation handles the head keys map-side)."""
+    return (
+        doc_mentions(documents)
+        .groupBy("entity_type", "authority_id")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+DOC_ENTITY_COUNTS_SQL = f"""
+SELECT entity_type, authority_id,
+       count(*) AS n_mentions,
+       count(DISTINCT doc_id) AS n_docs
+FROM ({DOC_MENTIONS_SQL}) m
+GROUP BY entity_type, authority_id
+"""
+
+
+def doc_triples(documents: DataFrame) -> DataFrame:
+    """Full (subj, pred, obj) emission over documents — the flagship.
+
+    Shapes (cf. pipeline.materialize): page @type/mentions, entity
+    @type/sameAs/preferredName (preferredName = min surface, deterministic).
+    """
+    m = doc_mentions(documents).cache()
+    page = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    entity = F.concat(F.lit(TARGET), "entity_type", F.lit("/"), "authority_id")
+
+    page_type = (
+        m.select("doc_id").distinct()
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("subj"),
+            F.lit("@type").alias("pred"),
+            F.lit("http://schema.org/CreativeWork").alias("obj"),
+        )
+    )
+    page_mentions = m.select(
+        page.alias("subj"), F.lit("mentions").alias("pred"), entity.alias("obj")
+    ).distinct()
+    ents = m.groupBy("entity_type", "authority_id").agg(
+        F.min("surface_form").alias("pname")
+    )
+    e_id = F.concat(F.lit(TARGET), "entity_type", F.lit("/"), "authority_id")
+    schema_map = F.create_map(*[F.lit(x) for kv in _SCHEMA_CLASS.items() for x in kv])
+    e_type = ents.select(
+        e_id.alias("subj"), F.lit("@type").alias("pred"),
+        schema_map[F.col("entity_type")].alias("obj"),
+    )
+    e_same = ents.select(
+        e_id.alias("subj"), F.lit("sameAs").alias("pred"),
+        F.concat(F.lit(GND), F.col("authority_id")).alias("obj"),
+    )
+    e_name = ents.select(
+        e_id.alias("subj"), F.lit("preferredName").alias("pred"),
+        F.col("pname").alias("obj"),
+    )
+    return page_type.unionAll(page_mentions).unionAll(e_type).unionAll(e_same).unionAll(e_name).distinct()
+
+
+_CLASS_CASE = " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in _SCHEMA_CLASS.items()
+)
+
+DOC_TRIPLES_SQL = f"""
+WITH m AS ({DOC_MENTIONS_SQL}),
+ents AS (
+  SELECT entity_type, authority_id, min(surface_form) AS pname
+  FROM m GROUP BY entity_type, authority_id
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT DISTINCT 'doc://' || cast(doc_id AS varchar) AS subj,
+         '@type' AS pred, 'http://schema.org/CreativeWork' AS obj FROM m
+  UNION ALL
+  SELECT DISTINCT 'doc://' || cast(doc_id AS varchar),
+         'mentions',
+         '{TARGET}' || entity_type || '/' || authority_id FROM m
+  UNION ALL
+  SELECT '{TARGET}' || entity_type || '/' || authority_id,
+         '@type', CASE entity_type {_CLASS_CASE} END FROM ents
+  UNION ALL
+  SELECT '{TARGET}' || entity_type || '/' || authority_id,
+         'sameAs', '{GND}' || authority_id FROM ents
+  UNION ALL
+  SELECT '{TARGET}' || entity_type || '/' || authority_id,
+         'preferredName', pname FROM ents
+)
+"""
+
+
+def doc_entity_cooccurrence(documents: DataFrame) -> DataFrame:
+    """Entity pairs co-mentioned in one doc (self-join on doc_id; ordered
+    pair to halve the output), with pair counts."""
+    pairs = doc_mentions(documents).select("doc_id", "entity_type", "authority_id").distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.authority_id") < F.col("b.authority_id")),
+        )
+        .groupBy(
+            F.col("a.authority_id").alias("auth_a"),
+            F.col("b.authority_id").alias("auth_b"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+DOC_COOCCURRENCE_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, entity_type, authority_id FROM ({DOC_MENTIONS_SQL})
+)
+SELECT a.authority_id AS auth_a, b.authority_id AS auth_b,
+       count(*) AS n_docs
+FROM pairs a JOIN pairs b
+  ON a.doc_id = b.doc_id AND a.authority_id < b.authority_id
+GROUP BY a.authority_id, b.authority_id
+"""

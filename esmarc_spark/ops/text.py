@@ -1,0 +1,184 @@
+"""Text-analysis operators over a documents(doc_id, text, lang, ...) table:
+token counting, language-ID heuristic, quality scoring, fingerprinting.
+
+Everything is pure ``pyspark.sql.functions`` expressions — whole-stage
+codegen, zero Python in the hot path — and each operator has a matching
+ANSI-SQL rendering (the *_SQL strings) so the DuckDB oracle can verify it
+value-for-value at any scale factor.
+
+Design notes for 100 TB:
+  * all operators are row-local (map-only): no shuffle at all; they pipeline
+    into whatever aggregation follows;
+  * floating-point outputs are rounded at the operator boundary (ROUND_N)
+    so results are bit-stable across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROUND_N = 6
+
+# shared stopword list for the language heuristic (tiny on purpose; the
+# point is the operator shape — swap a real table in production)
+_EN_STOP = ["the", "a", "of", "and"]
+_DE_STOP = ["der", "die", "das", "und"]
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str = "text") -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+TOKEN_COUNT_SQL = "len(string_split(text, ' '))"
+
+
+def distinct_token_ratio(text: Column | str = "text") -> Column:
+    toks = tokens_col(text)
+    return F.round(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), ROUND_N
+    )
+
+
+DISTINCT_TOKEN_RATIO_SQL = (
+    f"round(cast(len(list_distinct(string_split(text,' '))) as double)"
+    f" / len(string_split(text,' ')), {ROUND_N})"
+)
+
+
+def mean_token_len(text: Column | str = "text") -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
+    return F.round(total.cast("double") / F.size(toks), ROUND_N)
+
+
+MEAN_TOKEN_LEN_SQL = (
+    "round(cast(list_sum(list_transform(string_split(text,' '), t -> len(t)))"
+    f" as double) / len(string_split(text,' ')), {ROUND_N})"
+)
+
+
+def stopword_ratio(text: Column | str = "text", stopwords: list[str] | None = None) -> Column:
+    stopwords = stopwords or _EN_STOP
+    toks = tokens_col(text)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.round(stops.cast("double") / F.size(toks), ROUND_N)
+
+
+def stopword_ratio_sql(stopwords: list[str] | None = None) -> str:
+    stopwords = stopwords or _EN_STOP
+    inlist = ", ".join(f"'{w}'" for w in stopwords)
+    return (
+        f"round(cast(len(list_filter(string_split(text,' '), t -> t in ({inlist})))"
+        f" as double) / len(string_split(text,' ')), {ROUND_N})"
+    )
+
+
+def lang_guess(text: Column | str = "text") -> Column:
+    """Stopword-vote language ID: en vs de vs und. The operator shape is the
+    point (vectorized n-gram/stopword heuristic); the tiny dictionaries make
+    it oracle-checkable."""
+    toks = tokens_col(text)
+    en = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP)))
+    de = F.size(F.filter(toks, lambda t: t.isin(*_DE_STOP)))
+    return (
+        F.when(en > de, F.lit("en")).when(de > en, F.lit("de")).otherwise(F.lit("und"))
+    )
+
+
+_EN_IN = ", ".join(f"'{w}'" for w in _EN_STOP)
+_DE_IN = ", ".join(f"'{w}'" for w in _DE_STOP)
+LANG_GUESS_SQL = (
+    f"case when len(list_filter(string_split(text,' '), t -> t in ({_EN_IN})))"
+    f" > len(list_filter(string_split(text,' '), t -> t in ({_DE_IN}))) then 'en' "
+    f"when len(list_filter(string_split(text,' '), t -> t in ({_DE_IN})))"
+    f" > len(list_filter(string_split(text,' '), t -> t in ({_EN_IN}))) then 'de' "
+    f"else 'und' end"
+)
+
+
+def fingerprint(text: Column | str = "text") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+FINGERPRINT_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+
+def quality_score(text: Column | str = "text") -> Column:
+    """Composite [0,1] quality score: length band + lexical diversity +
+    stopword presence. Deterministic, rounded."""
+    n = token_count(text)
+    len_band = F.when((n >= 10) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    diversity = distinct_token_ratio(text)
+    stop = stopword_ratio(text)
+    has_stop = F.when(stop > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_band + diversity + has_stop) / F.lit(3.0), ROUND_N)
+
+
+QUALITY_SCORE_SQL = (
+    "round(((case when len(string_split(text,' ')) between 10 and 5000 then 1.0 else 0.5 end)"
+    f" + {DISTINCT_TOKEN_RATIO_SQL}"
+    f" + (case when {stopword_ratio_sql()} > 0 then 1.0 else 0.0 end)) / 3.0, {ROUND_N})"
+)
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """One row per doc: all text metrics.
+
+    Staged selects on purpose: tokenizing once into a column and deriving
+    every metric from that column keeps the generated code small. A single
+    flat projection re-inlines split(text) into every metric (and
+    quality_score re-inlines three metrics again), which blows the Janino
+    codegen unit up to tens of seconds of *compile* time.
+    """
+    toks = F.col("_toks")
+    n = F.size(toks)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP)))
+    de_stops = F.size(F.filter(toks, lambda t: t.isin(*_DE_STOP)))
+    staged = documents.select(
+        "doc_id", "text", tokens_col().alias("_toks")
+    ).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, ROUND_N).alias(
+            "distinct_ratio"
+        ),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+            ).cast("double")
+            / n,
+            ROUND_N,
+        ).alias("mean_token_len"),
+        F.round(stops.cast("double") / n, ROUND_N).alias("stopword_ratio"),
+        F.when(stops > de_stops, F.lit("en"))
+        .when(de_stops > stops, F.lit("de"))
+        .otherwise(F.lit("und"))
+        .alias("lang_guess"),
+        fingerprint().alias("fingerprint"),
+    )
+    len_band = F.when(
+        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 5000), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    has_stop = F.when(F.col("stopword_ratio") > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "mean_token_len",
+        "stopword_ratio",
+        "lang_guess",
+        F.round((len_band + F.col("distinct_ratio") + has_stop) / F.lit(3.0), ROUND_N).alias(
+            "quality"
+        ),
+        "fingerprint",
+    )

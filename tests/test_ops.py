@@ -1,0 +1,128 @@
+"""Unit tests for dedup / similarity / text operators (invariants a DuckDB
+oracle can't express: recall of LSH, hamming locality of simhash, numpy
+agreement of cosine)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from esmarc_spark.ops.dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from esmarc_spark.ops.similarity import cosine_topk, lsh_bucketed_topk
+from esmarc_spark.ops.text import text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark query engines and shuffles"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),        # exact dup of 1
+        (3, near, "en", "s", len(near)),        # near dup of 1
+        (4, far, "en", "s", len(far)),
+        (5, "tiny", "en", "s", 4),              # < shingle_k tokens
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).cache()
+
+
+def test_dedup_exact(docs):
+    kept = sorted(r.doc_id for r in dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 deduped into 1 (min doc_id survives)
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sig = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]
+    assert 5 not in sig  # too short for shingles
+    # near dup shares most minhashes, far doc almost none
+    share_near = sum(a == b for a, b in zip(sig[1], sig[3]))
+    share_far = sum(a == b for a, b in zip(sig[1], sig[4]))
+    assert share_near > share_far
+
+
+def test_lsh_finds_near_dups(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long")
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard(docs, pairs).collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 < j[(1, 3)] < 1.0
+    assert j[(1, 4)] == 0.0
+
+
+def test_simhash_hamming_locality(docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sh[1] == sh[2]
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+    assert ham(sh[1], sh[3]) <= 6
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(df, df.where(F.col("vec_id") < 2), k=3).collect()
+    # numpy oracle
+    norm = vecs / np.linalg.norm(vecs.astype("float64"), axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in (0, 1):
+        order = [
+            i for i in np.argsort(-sims[q], kind="stable") if i != q
+        ][:3]
+        got = [r.vec_id for r in sorted(out, key=lambda r: r.rank) if r.query_id == q]
+        assert got == order
+
+
+def test_lsh_bucketed_topk_recall(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(120, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where(F.col("vec_id") < 3)
+    exact = cosine_topk(df, q, k=3).collect()
+    approx = lsh_bucketed_topk(df, q, k=3, n_bits=2, dim=16).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    # coarse buckets (2 bits) should retain decent overlap with exact top-k
+    assert len(exact_set & approx_set) >= len(exact_set) // 3
+    # every approx hit must carry the exact cosine score
+    exact_all = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk(df, q, k=200).collect()
+    }
+    for r in approx:
+        assert abs(exact_all[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog", "en", "s", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    row = text_stats(df).collect()[0]
+    assert row.n_tokens == 5
+    assert row.distinct_ratio == 0.8  # 'the' twice
+    assert row.stopword_ratio == 0.6  # the, and, the
+    assert row.lang_guess == "en"
+    assert row.mean_token_len == 3.0
+    assert len(row.fingerprint) == 32
