@@ -132,6 +132,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
+    def events_asof(spark, sf):
+        from esmarc_spark.ops.asof import purchases_with_last_view
+
+        return purchases_with_last_view(_t(spark, sf, "events"))
+
+    def media_stats(spark, sf):
+        # synthetic media table (binary columns + typed metadata); decode is
+        # stubbed, plumbing is real -> rows-only check
+        from esmarc_spark.ops.multimodal import media_metadata_stats, synth_media
+
+        return media_metadata_stats(synth_media(spark, n=300))
+
     def marc_fixture_triples(spark, sf):
         # non-SQL-expressible (nested JSON mini-language); rows-only check
         import json
@@ -162,6 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "sim_topk": sim_topk,
+        "events_asof": events_asof,
+        "media_stats": media_stats,
         "marc_fixture_triples": marc_fixture_triples,
     }
 
@@ -172,7 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from esmarc_spark.ops import dedup, kg_documents, relational, text
+    from esmarc_spark.ops import asof, dedup, kg_documents, relational, text
 
     text_stats_sql = f"""
 SELECT doc_id,
@@ -226,6 +240,8 @@ QUALIFY rank <= 5
         "dedup_jaccard": dedup.jaccard_pairs_sql(),
         "dedup_simhash": dedup.simhash_sql(),
         "sim_topk": sim_topk_sql,
-        # marc_fixture_triples: intentionally no oracle (nested-JSON
-        # mini-language not expressible in ANSI SQL) -> rows-only check
+        "events_asof": asof.PURCHASES_LAST_VIEW_SQL,
+        # marc_fixture_triples: no oracle (nested-JSON mini-language not
+        # ANSI-expressible); media_stats: no oracle (synthetic binary table
+        # exists only Spark-side) -> rows-only checks
     }

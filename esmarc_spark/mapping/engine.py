@@ -78,7 +78,23 @@ def map_record(
         card, _, prop = prop_key.partition(":")
         cardinality[prop] = card
         value = collapse(_eval_cell(record, cell, entity))
-        if value:
+        if not value:
+            continue
+        # dynamic relation fan-out: nodes carrying "_key" land under the
+        # property named by _key (spouse/children/...), not under `prop`
+        if "related" in prop and isinstance(value, dict) and "_key" in value:
+            dynamic = value.pop("_key")
+            doc[dynamic] = merge_value(doc.get(dynamic), value)
+        elif (
+            "related" in prop
+            and isinstance(value, list)
+            and any(isinstance(x, dict) and "_key" in x for x in value)
+        ):
+            for node in value:
+                if isinstance(node, dict) and "_key" in node:
+                    dynamic = node.pop("_key")
+                    doc[dynamic] = merge_value(doc.get(dynamic), node)
+        else:
             doc[prop] = merge_value(doc.get(prop), value)
     if not doc:
         return None

@@ -64,20 +64,27 @@ def with_extracted_text(webtext: DataFrame) -> DataFrame:
 
 def dedup_by_url(webtext: DataFrame) -> DataFrame:
     """Exactly-one-row-per-url: keep the newest crawl (max warc_ts), ties
-    broken deterministically by preferring rows that carry original text.
+    broken deterministically by preferring rows that carry text, then by
+    text hash.
 
-    max_by-style dedup instead of dropDuplicates so the *choice* of survivor
-    is deterministic under any partitioning — dropDuplicates keeps an
-    arbitrary first row, which would break the byte-identity contract.
+    Implemented as max_by over a composite rank struct rather than a
+    row_number window: the groupBy gets a map-side partial aggregate (each
+    input partition reduces to one candidate row per url before the
+    shuffle), where a window would shuffle + sort the full corpus. The
+    survivor choice is a pure function of row content — deterministic under
+    any partitioning (dropDuplicates would keep an arbitrary first row and
+    break the byte-identity contract).
     """
-    ranked = webtext.withColumn(
-        "_rank",
-        F.row_number().over(
-            Window.partitionBy("url").orderBy(
-                F.col("warc_ts").desc(),
-                F.col("text").isNull().asc(),
-                F.xxhash64("text").asc_nulls_last(),
-            )
-        ),
+    cols = webtext.columns
+    # maximize (warc_ts, has_text, ~hash) == orderBy(ts desc, null last,
+    # hash asc); bitwise NOT is the overflow-safe monotone negation
+    rank = F.struct(
+        F.col("warc_ts"),
+        F.col("text").isNotNull().cast("int"),
+        F.bitwise_not(F.coalesce(F.xxhash64("text"), F.lit(0))),
+        F.bitwise_not(F.coalesce(F.xxhash64("html"), F.lit(0))),
     )
-    return ranked.where(F.col("_rank") == 1).drop("_rank")
+    picked = webtext.groupBy("url").agg(
+        F.max_by(F.struct(*[c for c in cols if c != "url"]), rank).alias("_row")
+    )
+    return picked.select("url", *[F.col(f"_row.{c}").alias(c) for c in cols if c != "url"])

@@ -86,11 +86,15 @@ def linked_to_triples(linked: DataFrame, source_index: str = "webtext") -> DataF
         F.col("preferred_name").alias("obj"),
     )
 
+    # no outer distinct: every shape is internally distinct (pages are
+    # unique, page_mentions deduped, entity shapes come out of a groupBy)
+    # and the shapes can't collide across the union (disjoint pred/subj
+    # combinations) — a global distinct here would shuffle every triple for
+    # nothing, which at 10^12 docs is the single biggest avoidable shuffle.
     return (
         page_type.unionAll(page_prov)
         .unionAll(page_mentions)
         .unionAll(entity_type_triples)
         .unionAll(entity_same_as)
         .unionAll(entity_name)
-        .distinct()
     )

@@ -69,6 +69,118 @@ def detect_mentions(webtext: DataFrame, surface_forms: list[str]) -> DataFrame:
     )
 
 
+def detect_mentions_ngram(
+    webtext: DataFrame, gazetteer: DataFrame, max_n: int | None = None
+) -> DataFrame:
+    """JVM-only multi-word gazetteer scan: token n-grams ⋈ broadcast(surfaces).
+
+    The production hot path (input_hint: no Python in the hot path): tokens
+    come from split(), n-grams for every length present in the gazetteer are
+    built with pure array expressions, posexplode fans them out, and the
+    broadcast join never shuffles the corpus. Longest-match-first overlap
+    semantics are enforced afterwards: an n-gram match starting inside a
+    longer match at the same or earlier position is kept (both reported) —
+    only *nested* shorter matches of the SAME span start are suppressed via
+    the greatest-length-per-start rule.
+
+    position = token index of the first token of the match.
+    """
+    surfaces = [r["surface_form"] for r in gazetteer.select("surface_form").distinct().collect()]
+    lengths = sorted({len(s.split(" ")) for s in surfaces})
+    if max_n is not None:
+        lengths = [n for n in lengths if n <= max_n]
+
+    toks = F.split(F.regexp_replace(F.col("text"), r"(^\W+|\W+$)", ""), " ")
+    clean = F.transform(toks, lambda t: F.regexp_replace(t, r"(^\W+|\W+$)", ""))
+    base = webtext.where(F.col("text").isNotNull()).select(
+        "url", "lang", clean.alias("_toks")
+    )
+
+    # anchor-first candidate generation, all inside array expressions:
+    #  1. anchors = token positions whose token can START some surface form
+    #     (one cheap isin over the raw tokens — no string concatenation);
+    #  2. n-grams are built ONLY at anchor positions (~a few per doc instead
+    #     of every position x every length — at 10^12 docs the difference
+    #     between allocating ~100 concat strings per doc and ~5);
+    #  3. candidates = anchor grams that equal a full surface form.
+    surface_set = sorted(set(surfaces))
+    anchor_tokens = sorted({s.split(" ")[0] for s in surface_set})
+    # NOTE for >10^4-surface gazetteers: swap both isin literal sets for
+    # bloom filters (false positives then removed by the broadcast join).
+    arr = F.col("_toks")
+    size = F.size(arr)
+    positions = F.when(size >= 1, F.sequence(F.lit(1), size)).otherwise(
+        F.array().cast("array<int>")
+    )
+    anchors = F.filter(
+        positions, lambda i: F.element_at(arr, i).isin(*anchor_tokens)
+    )
+
+    def gram_at(i, n: int) -> F.Column:
+        gram = F.concat_ws(
+            " ", *[F.element_at(arr, (i + j).cast("int")) for j in range(n)]
+        )
+        return F.when(
+            size - (i - 1) >= n,
+            F.struct(
+                (i - 1).cast("long").alias("position"),
+                F.lit(n).alias("n_toks"),
+                gram.alias("surface_form"),
+            ),
+        )
+
+    anchor_grams = F.flatten(
+        F.transform(anchors, lambda i: F.array(*[gram_at(i, n) for n in lengths]))
+    )
+    candidates = F.filter(
+        anchor_grams,
+        lambda g: g.isNotNull() & g.surface_form.isin(*surface_set),
+    )
+
+    # exact leftmost-longest (regex finditer) semantics, computed per doc
+    # inside the array: sort candidates by (position asc, length desc) and
+    # fold with a consumed-until cursor — a match is kept iff it starts at
+    # or after the end of the previously kept match. Chains resolve exactly
+    # like the sequential scanner; no suppression shuffle is needed at all.
+    ordered = F.array_sort(
+        candidates,
+        lambda a, b: F.when(a.position < b.position, F.lit(-1))
+        .when(a.position > b.position, F.lit(1))
+        .when(a.n_toks > b.n_toks, F.lit(-1))
+        .when(a.n_toks < b.n_toks, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    empty_kept = F.array().cast(
+        "array<struct<position:bigint,n_toks:int,surface_form:string>>"
+    )
+    folded = F.aggregate(
+        ordered,
+        F.struct(F.lit(-1).cast("long").alias("consumed"), empty_kept.alias("kept")),
+        lambda acc, g: F.when(
+            g.position >= acc.consumed,
+            F.struct(
+                (g.position + g.n_toks).cast("long").alias("consumed"),
+                F.concat(acc.kept, F.array(g)).alias("kept"),
+            ),
+        ).otherwise(acc),
+        lambda acc: acc.kept,
+    )
+    matches = base.select(
+        "url", "lang", F.explode(folded).alias("g")
+    ).select(
+        F.col("g.surface_form").alias("surface_form"),
+        "url",
+        F.col("g.position").alias("position"),
+        "lang",
+    )
+    # broadcast join keeps the contract uniform with the other detectors
+    # (and, with a bloom-filtered candidate set, removes false positives)
+    surf_df = gazetteer.select("surface_form").distinct()
+    return matches.join(F.broadcast(surf_df), "surface_form").select(
+        "url", "surface_form", "position", "lang"
+    )
+
+
 def detect_mentions_tokenized(webtext: DataFrame, gazetteer: DataFrame) -> DataFrame:
     """JVM-only token path: posexplode(split(text)) ⋈ broadcast(gazetteer).
 

@@ -17,7 +17,11 @@ from esmarc_spark.pipeline.canonicalize import canonical_mapping, rewrite_throug
 from esmarc_spark.pipeline.extract_text import dedup_by_url, with_extracted_text
 from esmarc_spark.pipeline.link import link_mentions
 from esmarc_spark.pipeline.materialize import linked_to_triples
-from esmarc_spark.pipeline.mentions import detect_mentions, detect_mentions_tokenized
+from esmarc_spark.pipeline.mentions import (
+    detect_mentions,
+    detect_mentions_ngram,
+    detect_mentions_tokenized,
+)
 from esmarc_spark.pipeline.checkpoint import CheckpointStore
 
 
@@ -26,18 +30,25 @@ def run_pipeline(
     gazetteer: DataFrame,
     same_as_edges: DataFrame | None = None,
     canonical_map: DataFrame | None = None,
-    tokenized: bool = False,
+    mentions_mode: str = "ngram",
     source_index: str = "webtext",
 ) -> DataFrame:
     """S1 extract -> dedup -> S2 mentions -> S3 link -> (S4 canonicalize)
     -> S5 triples. Returns the triples DataFrame (lazy).
+
+    mentions_mode: "ngram" (default — JVM-only token n-gram join, the hot
+    path that scales), "regex" (pandas-UDF char-offset scan; exact
+    word-boundary semantics incl. punctuation-adjacent matches), or "token"
+    (single-token JVM join).
 
     Pass ``canonical_map`` (precomputed uri->canonical dim) when calling in
     a loop — recomputing connected components per partition would repeat the
     iterative join cascade for every partition.
     """
     docs = dedup_by_url(with_extracted_text(webtext))
-    if tokenized:
+    if mentions_mode == "ngram":
+        mentions = detect_mentions_ngram(docs, gazetteer)
+    elif mentions_mode == "token":
         mentions = detect_mentions_tokenized(docs, gazetteer)
     else:
         surfaces = [r["surface_form"] for r in gazetteer.select("surface_form").distinct().collect()]
