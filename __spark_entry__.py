@@ -95,6 +95,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def anti_join_unmatched(spark, sf):
         return relational.anti_join_unmatched(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
 
+    def window_topn(spark, sf):
+        return relational.window_topn_orders(_t(spark, sf, "orders"))
+
+    def rollup_revenue(spark, sf):
+        return relational.rollup_revenue(
+            _t(spark, sf, "customer"),
+            _t(spark, sf, "orders"),
+            _t(spark, sf, "nation"),
+            _t(spark, sf, "region"),
+        )
+
     def events_hourly(spark, sf):
         return relational.events_hourly_rollup(_t(spark, sf, "events"))
 
@@ -166,6 +177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": tpch_q5,
         "semi_join_idfile": semi_join_idfile,
         "anti_join_unmatched": anti_join_unmatched,
+        "window_topn": window_topn,
+        "rollup_revenue": rollup_revenue,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "text_stats": text_stats,
@@ -232,6 +245,8 @@ QUALIFY rank <= 5
         "tpch_q5": relational.Q5_SQL,
         "semi_join_idfile": relational.SEMI_JOIN_SQL,
         "anti_join_unmatched": relational.ANTI_JOIN_SQL,
+        "window_topn": relational.WINDOW_TOPN_SQL,
+        "rollup_revenue": relational.ROLLUP_REVENUE_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_sessions": relational.events_sessionize_sql(),
         "text_stats": text_stats_sql,

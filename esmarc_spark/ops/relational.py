@@ -193,6 +193,81 @@ ORDER BY hour, event_type
 """
 
 
+def window_topn_orders(orders: DataFrame, n: int = 3) -> DataFrame:
+    """Top-N orders per customer by totalprice (deterministic tie-break) —
+    ranking-window coverage; partial shuffle on o_custkey only."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select(
+            "o_custkey",
+            F.col("rank").cast("int").alias("rank"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("decimal(38,2)").cast("double"), 2).alias(
+                "o_totalprice"
+            ),
+        )
+        .orderBy("o_custkey", "rank")
+    )
+
+
+WINDOW_TOPN_SQL = """
+SELECT o_custkey,
+       cast(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS int) AS rank,
+       o_orderkey,
+       round(cast(cast(o_totalprice AS decimal(38,2)) AS double), 2) AS o_totalprice
+FROM orders
+QUALIFY rank <= 3
+ORDER BY o_custkey, rank
+"""
+
+
+def rollup_revenue(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """ROLLUP (region, nation) over order totals — multi-level aggregate
+    coverage; null grouping keys labeled 'ALL' for engine portability."""
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+ROLLUP_REVENUE_SQL = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_orders,
+       round(cast(sum(cast(o_totalprice AS decimal(38,2))) AS double), 2) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region, nation
+"""
+
+
 def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Session assignment per user via lag + cumulative gap counting —
     the reference has no session op; this is the training-pipeline staple."""
