@@ -564,6 +564,68 @@ def build_repro_series(record: dict, key: str, entity: str) -> dict | None:
 
 
 # ---------------------------------------------------------------------------
+# about nodes (RVK / DDC / GND subjects, ≈ about.py:7-81)
+# ---------------------------------------------------------------------------
+
+
+def _ddc_about(code: str) -> dict:
+    return {
+        "identifier": {"@type": "PropertyValue", "propertyID": "DDC", "value": code},
+        "@id": "http://purl.org/NET/decimalised#c" + code[:3],
+    }
+
+
+def _rvk_about(occurrence: dict) -> dict | None:
+    """936/084 occurrence with the literal indicator "rv" -> RVK node."""
+    if "rv" not in occurrence:
+        return None
+    smap: dict[str, Any] = {}
+    for cell in occurrence["rv"]:
+        for k, v in cell.items():
+            smap[k] = merge_value(smap.get(k), v)
+    node: dict[str, Any] = {}
+    uris = [authority_uri(x) for x in _as_list(smap.get("0") or []) if isinstance(x, str)]
+    uris = [u for u in uris if u]
+    if smap.get("0"):
+        node["sameAs"] = uris
+    if smap.get("a"):
+        node["@id"] = (
+            "https://rvk.uni-regensburg.de/api/json/ancestors/"
+            + str(smap["a"]).replace(" ", "%20")
+        )
+        node["identifier"] = {
+            "@type": "PropertyValue",
+            "propertyID": "RVK",
+            "value": smap["a"],
+        }
+    if smap.get("b"):
+        node["name"] = smap["b"]
+    if smap.get("k"):
+        node["keywords"] = smap["k"]
+    return node
+
+
+def build_about(record: dict, keys: list, entity: str) -> list | None:
+    out = []
+    for key in keys:
+        if key in ("936", "084"):
+            for occ in record.get(key) or []:
+                if isinstance(occ, dict):
+                    node = _rvk_about(occ)
+                    if node is not None:
+                        out.append(node)
+        elif key in ("082", "083"):
+            for code in _as_list(field_values(record, f"{key}..a") or []):
+                if isinstance(code, str):
+                    out.append(_ddc_about(code))
+        elif key == "655":
+            node = build_subfield_node(record, key, entity)
+            if node is not None:
+                out.append(node)
+    return out or None
+
+
+# ---------------------------------------------------------------------------
 # identifiedBy: 12 identifier-scheme groups (≈ id.py:93-299), spec-driven
 # ---------------------------------------------------------------------------
 
@@ -714,80 +776,105 @@ def build_identified_by(record: dict, keys: Any, entity: str) -> list | None:
 # ---------------------------------------------------------------------------
 
 
+def _linked_name(smap: dict) -> Any:
+    """Shared 77x/8xx name rule: $a alone, "$t / $a" when both, $t alone."""
+    a, t = smap.get("a"), smap.get("t")
+    if a and not t:
+        return a
+    if a and t:
+        return f"{t} / {a}"
+    if t:
+        return t
+    return None
+
+
+def _resource_id(smap: dict) -> str | None:
+    for item in _as_list(smap.get("w") or []):
+        if isinstance(item, str) and item.startswith("(DE-627"):
+            return f"{TARGET_ID}resources/{item[8:]}"
+    return None
+
+
 def build_series_statement(record: dict, key: str, entity: str) -> list | None:
+    """490 ind 0_: unlinked/uncounted series statements (relatedTo.py:9-20)."""
     out = []
-    for smap in occurrence_maps(record, key, "*"):
-        node: dict[str, Any] = {}
-        if smap.get("a"):
-            node["name"] = collapse(_as_list(smap["a"]))
-        if smap.get("v"):
-            node["position"] = collapse(_as_list(smap["v"]))
-        if node:
-            out.append(node)
+    for smap in occurrence_maps(record, key, "0_"):
+        node = {"name": smap.get("a"), "position": smap.get("v")}
+        out.append(node)
     return out or None
 
 
 def build_part_of_series(record: dict, keys: list, entity: str) -> list | None:
+    """776(ind 1_ only)/8xx series membership (relatedTo.py:23-60)."""
     out = []
     for tag in keys:
-        for smap in occurrence_maps(record, tag, "*"):
+        inds = "1_" if tag == "776" else "*"
+        for smap in occurrence_maps(record, tag, inds):
             node: dict[str, Any] = {}
-            name = smap.get("t") or smap.get("a")
+            rid = _resource_id(smap)
+            if rid:
+                node["@id"] = rid
+            name = _linked_name(smap)
             if name:
-                node["name"] = collapse(_as_list(name))
+                node["name"] = name
             if smap.get("v"):
-                node["position"] = collapse(_as_list(smap["v"]))
-            for item in _as_list(smap.get("w") or []):
-                if isinstance(item, str) and item.startswith(BASE_ID):
-                    node["@id"] = f"{TARGET_ID}resources/{item[len(BASE_ID):]}"
-            if node.get("name"):
+                node["position"] = smap["v"]
+            elif smap.get("9"):
+                node["position"] = smap["9"]
+            if node:
                 out.append(node)
     return out or None
 
 
 def build_is_part_of(record: dict, keys: list, entity: str) -> list | None:
+    """773 ind 08/18 host-item links; 18 pulls the record's own title
+    (relatedTo.py:63-101). Only linked nodes (with @id) are kept."""
     out = []
-    for smap in occurrence_maps(record, "773", "*"):
-        node: dict[str, Any] = {}
-        name = smap.get("t") or smap.get("s") or smap.get("a")
-        if name:
-            node["name"] = collapse(_as_list(name))
-        if smap.get("g"):
-            node["locator"] = collapse(_as_list(smap["g"]))
-        for item in _as_list(smap.get("w") or []):
-            if isinstance(item, str) and item.startswith(BASE_ID):
-                node["@id"] = f"{TARGET_ID}resources/{item[len(BASE_ID):]}"
-        if node:
-            out.append(node)
+    for indicator in ("08", "18"):
+        for smap in occurrence_maps(record, "773", indicator):
+            node: dict[str, Any] = {}
+            rid = _resource_id(smap)
+            if rid:
+                node["@id"] = rid
+            if smap.get("g"):
+                node["position"] = ", ".join(_as_list(smap["g"]))
+            if indicator == "08":
+                name = _linked_name(smap)
+                if name:
+                    node["name"] = name
+                if smap.get("d"):
+                    node["publisherNote"] = ", ".join(_as_list(smap["d"]))
+                node["displayLabel"] = smap.get("i")
+            else:
+                title = build_title(record, None, entity) or {}
+                node["mainTitle"] = title.get("mainTitle")
+                part = title.get("partStatement")
+                if isinstance(part, list) and part:
+                    node["partStatement"] = part[0]
+                node["name"] = "{}. {}".format(
+                    title.get("mainTitle"), node.get("partStatement")
+                )
+            if node.get("@id"):
+                out.append(node)
     return out or None
 
 
-_RELATION_TYPES = {
-    "770": "hasSupplement",
-    "772": "isSupplementTo",
-    "775": "hasOtherEdition",
-    "776": "hasAlternateFormat",
-    "780": "continues",
-    "785": "continuedBy",
-    "787": "relatedItem",
-}
-
-
 def build_relations(record: dict, keys: list, entity: str) -> list | None:
-    """Typed resource-to-resource relations (77x/78x linking fields)."""
+    """77x/78x linking entries, indicator prefix 0* (relatedTo.py:104-127):
+    name via the $a/$t rule, relationType from $i, @id from (DE-627)$w."""
     out = []
-    for tag in keys:
-        for smap in occurrence_maps(record, tag, "*"):
-            node: dict[str, Any] = {"@type": _RELATION_TYPES.get(tag, "relatedItem")}
-            if smap.get("t"):
-                node["name"] = collapse(_as_list(smap["t"]))
-            if smap.get("i"):
-                node["description"] = collapse(_as_list(smap["i"]))
-            for item in _as_list(smap.get("w") or []):
-                if isinstance(item, str) and item.startswith(BASE_ID):
-                    node["@id"] = f"{TARGET_ID}resources/{item[len(BASE_ID):]}"
-            if len(node) > 1:
-                out.append(node)
+    for smap in occurrence_maps(record, keys, "0*"):
+        node: dict[str, Any] = {}
+        rid = _resource_id(smap)
+        if rid:
+            node["@id"] = rid
+        name = _linked_name(smap)
+        if name:
+            node["name"] = name
+        if smap.get("i"):
+            node["relationType"] = smap["i"]
+        if node:
+            out.append(node)
     return out or None
 
 
@@ -810,26 +897,54 @@ def relation_predicate(phrase: Any) -> str:
     return "relatedTo"
 
 
+def _route_relation_ids(node: dict, ids: Any, entity_type: str) -> None:
+    """$0 routing for relation nodes: base-prefixed -> minted @id, resolvable
+    authority -> sameAs, else identifier."""
+    for item in _as_list(ids or []):
+        if not isinstance(item, str):
+            continue
+        if item.startswith(BASE_ID):
+            node["@id"] = f"{TARGET_ID}{entity_type}/{item[len(BASE_ID):]}"
+        else:
+            uri = authority_uri(item)
+            if uri:
+                node["sameAs"] = merge_value(node.get("sameAs"), uri)
+            else:
+                node["identifier"] = merge_value(node.get("identifier"), item)
+
+
 def build_related(record: dict, key: str, entity: str) -> list | None:
     """Relation nodes with a dynamic ``_key`` predicate (the engine fans the
-    node out into the property named by _key, ≈ processing.py:40-49)."""
+    node out into the property named by _key, ≈ processing.py:40-49 +
+    relatedTo.py:130-199).
+
+    Reference contract: occurrences *without* $9 produce nothing; a scalar
+    $9 must match the phrase table exactly; a list $9 matches by substring
+    with "relatedTo" fallback. $t flips the node to a works-typed relation
+    with name/author split.
+    """
     tag = key[:3]
     out = []
     for smap in occurrence_maps(record, tag, "*"):
-        if not smap.get("0") and not smap.get("a"):
-            continue
-        node: dict[str, Any] = {"_key": relation_predicate(smap.get("9") or smap.get("i"))}
-        if smap.get("a"):
-            node["name"] = collapse(_as_list(smap["a"]))
-        for item in _as_list(smap.get("0") or []):
-            if not isinstance(item, str):
-                continue
-            if item.startswith(BASE_ID):
-                node["@id"] = f"{TARGET_ID}persons/{item[len(BASE_ID):]}"
-            else:
-                uri = authority_uri(item)
-                if uri:
-                    node["sameAs"] = merge_value(node.get("sameAs"), uri)
-        if len(node) > 1:
-            out.append(node)
+        node: dict[str, Any] = {}
+        entity_type = "persons"
+        a, t = smap.get("a"), smap.get("t")
+        if a and not t:
+            node["name"] = a
+        elif a and t:
+            node["name"] = t
+            node["author"] = a
+            entity_type = "works"
+        elif t:
+            node["name"] = t
+            entity_type = "works"
+        nine = smap.get("9")
+        if isinstance(nine, str) and nine in RELATION_PHRASES:
+            node["_key"] = RELATION_PHRASES[nine]
+        elif isinstance(nine, list):
+            node["_key"] = relation_predicate(nine)
+        else:
+            continue  # no usable $9 -> reference emits nothing
+        _route_relation_ids(node, smap.get("0"), entity_type)
+        out.append(node)
     return out or None

@@ -64,6 +64,7 @@ EXTRACTORS = {
     "repro_series": N.build_repro_series,
     "related": N.build_related,
     "identified_by": N.build_identified_by,
+    "about": N.build_about,
     "series_statement": N.build_series_statement,
     "part_of_series": N.build_part_of_series,
     "is_part_of": N.build_is_part_of,
@@ -77,6 +78,7 @@ _COMMON = {
     "single:_ppn": {"fn": "marc", "key": "001"},
     "single:dateModified": {"fn": "date_modified", "key": "005"},
     "multi:sameAs": {"fn": "same_as", "key": ["035..a", "670..u"]},
+    "multi:about": {"fn": "about", "key": ["936", "084", "083", "082", "655"]},
 }
 
 ENTITY_MAPPING: dict[str, dict] = {
@@ -144,6 +146,7 @@ ENTITY_MAPPING: dict[str, dict] = {
         "single:pageStart": {"fn": "marc", "key": "773..q"},
         "single:issueNumber": {"fn": "marc", "key": "773..l"},
         "single:volumeNumer": {"fn": "marc", "key": "773..v"},
+        "multi:about": {"fn": "about", "key": ["936", "084", "083", "082", "655"]},
         "multi:description": {"fn": "marc", "key": ["520..a"]},
         "multi:mentions": {
             "fn": "mentions",
