@@ -181,3 +181,51 @@ def triples_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for raw in pdf["marc_json"]:
             rows.extend(record_to_triples(json.loads(raw)))
         yield pd.DataFrame(rows, columns=["entity", "subj", "pred", "obj"])
+
+
+# ---------------------------------------------------------------------------
+# triples -> documents (unflatten; the inverse of doc_to_triples)
+# ---------------------------------------------------------------------------
+
+
+def parse_obj(obj: str) -> Any:
+    """Inverse of canonical_obj: JSON objects/arrays parse back; everything
+    else stays a bare string. Bare numeric/bool literals are deliberately
+    NOT parsed — the triple form cannot distinguish the string "123" from
+    the number 123, so unflattening keeps them as strings and consumers
+    recover numeric types from the output schema."""
+    if obj and obj[0] in "[{":
+        try:
+            return json.loads(obj)
+        except (ValueError, TypeError):
+            return obj
+    return obj
+
+
+def docs_from_triples(triples) -> "DataFrame":
+    """Spark unflatten: (subj, pred, obj) -> one JSON-LD doc per subj.
+
+    groupBy(subj) + collect pred/obj pairs -> map; multi-valued predicates
+    become lists, single values collapse to scalars (ArrayOrSingleValue
+    equivalence — cardinality is not carried by the triple form, so
+    round-tripping is exact up to scalar ≡ [scalar]).
+    """
+    from pyspark.sql import functions as F
+
+    grouped = triples.groupBy("subj").agg(
+        F.collect_list(F.struct("pred", "obj")).alias("pairs")
+    )
+
+    def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            subjects, docs = [], []
+            for subj, pairs in zip(pdf["subj"], pdf["pairs"]):
+                doc: dict[str, Any] = {"@id": subj}
+                for pair in sorted(pairs, key=lambda p: (p["pred"], p["obj"])):
+                    value = parse_obj(pair["obj"])
+                    doc[pair["pred"]] = merge_value(doc.get(pair["pred"]), value)
+                subjects.append(subj)
+                docs.append(json.dumps(doc, sort_keys=True, ensure_ascii=False))
+            yield pd.DataFrame({"subj": subjects, "doc": docs})
+
+    return grouped.mapInPandas(rebuild, schema="subj string, doc string")
