@@ -39,7 +39,8 @@ _ENTITIES = {
 
 @pandas_udf(StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
-    """Arrow-batched html->text. Deterministic by construction."""
+    """Arrow-batched html->text — the Python reference implementation the
+    JVM expression path is verified byte-identical against."""
     s = html.map(
         lambda b: b.decode("utf-8", errors="replace") if b is not None else None
     )
@@ -51,12 +52,29 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return s
 
 
-def with_extracted_text(webtext: DataFrame) -> DataFrame:
-    """S1: fill null ``text`` from ``html``; stamp extraction provenance."""
-    extracted = F.when(
-        F.col("text").isNull() & F.col("html").isNotNull(),
-        extract_text_udf(F.col("html")),
-    )
+def extract_text_expr(html: F.Column) -> F.Column:
+    """Pure-JVM html->text: the same deterministic strip as the pandas UDF,
+    as a regexp_replace chain inside whole-stage codegen — NO Python in the
+    hot path (input_hint). ``(?U)`` makes Java's \\s unicode-aware to match
+    Python's semantics; byte-identity of the two paths is enforced by
+    tests/test_webtext_pipeline.py::test_extract_paths_byte_identical."""
+    s = F.decode(html, "UTF-8")
+    s = F.regexp_replace(s, r"(?is)<(script|style|head)\b.*?</\1>", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, ch in _ENTITIES.items():
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.regexp_replace(s, r"(?U)\s+", " ")
+    return F.trim(s)
+
+
+def with_extracted_text(webtext: DataFrame, jvm: bool = True) -> DataFrame:
+    """S1: fill null ``text`` from ``html``; stamp extraction provenance.
+
+    jvm=True (default) uses the codegen expression path; jvm=False the
+    Arrow/pandas reference path.
+    """
+    extractor = extract_text_expr(F.col("html")) if jvm else extract_text_udf(F.col("html"))
+    extracted = F.when(F.col("text").isNull() & F.col("html").isNotNull(), extractor)
     return webtext.withColumn(
         "text_extracted", F.col("text").isNull() & F.col("html").isNotNull()
     ).withColumn("text", F.coalesce(F.col("text"), extracted))

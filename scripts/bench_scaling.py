@@ -128,8 +128,9 @@ def main() -> None:
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "BASELINE.md").write_text(
-        f"""# BENCH/BASELINE — scaling-efficiency evidence
+    # raw last-run record; the curated analysis lives in BENCH/BASELINE.md
+    (bench_dir / "SCALING_LAST_RUN.md").write_text(
+        f"""# BENCH/SCALING_LAST_RUN — latest raw scaling measurement
 
 north_rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors. Sandbox stand-in (task brief): the same job on the same input

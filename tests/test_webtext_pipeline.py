@@ -34,15 +34,42 @@ def test_webtext_shape_and_modes(webtext):
 
 def test_extract_text_byte_identity(webtext):
     """For rows carrying both html and text, extraction of the html must
-    reproduce the text byte-identically."""
-    from esmarc_spark.pipeline.extract_text import extract_text_udf
+    reproduce the text byte-identically (both implementations)."""
+    from esmarc_spark.pipeline.extract_text import extract_text_expr, extract_text_udf
 
     both = webtext.where(F.col("html").isNotNull() & F.col("text").isNotNull())
-    checked = both.select(
-        "url", "text", extract_text_udf(F.col("html")).alias("extracted")
+    for extractor in (extract_text_expr, extract_text_udf):
+        checked = both.select(
+            "url", "text", extractor(F.col("html")).alias("extracted")
+        )
+        mismatches = checked.where(F.col("text") != F.col("extracted")).collect()
+        assert mismatches == []
+
+
+def test_extract_paths_byte_identical(spark):
+    """JVM expression path == Python reference path, byte for byte, incl.
+    unicode whitespace, entities, nested tags, script/style/head blocks."""
+    from esmarc_spark.pipeline.extract_text import extract_text_expr, extract_text_udf
+
+    cases = [
+        "<html><head><title>t</title></head><body><p>Hello &amp; welcome</p></body></html>",
+        "<body>umläut &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end</body>",
+        "<div>unicode space wide</div>",
+        "<script>var x = '<p>no</p>';</script><p>yes</p><style>.a{}</style>",
+        "<p>line1</p>\n\n<p>line2</p>\t<br/>tail",
+        "plain text no tags",
+        "<SCRIPT>UPPER</SCRIPT><P>kept</P>",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(c.encode("utf-8"),) for c in cases], "html binary"
     )
-    mismatches = checked.where(F.col("text") != F.col("extracted")).collect()
-    assert mismatches == []
+    out = df.select(
+        extract_text_expr(F.col("html")).alias("jvm"),
+        extract_text_udf(F.col("html")).alias("py"),
+    ).collect()
+    for row, case in zip(out, cases):
+        assert row.jvm == row.py, (case, row.jvm, row.py)
 
 
 def test_extract_fills_html_only_rows(webtext):
