@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
+    def sim_near_dups(spark, sf):
+        return similarity.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.35)
+
     def events_asof(spark, sf):
         from esmarc_spark.ops.asof import purchases_with_last_view
 
@@ -187,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "sim_topk": sim_topk,
+        "sim_near_dups": sim_near_dups,
         "events_asof": events_asof,
         "media_stats": media_stats,
         "marc_fixture_triples": marc_fixture_triples,
@@ -200,6 +204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from esmarc_spark.ops import asof, dedup, kg_documents, relational, text
+    from esmarc_spark.ops.similarity import EMBEDDING_NEAR_DUPS_SQL_TEMPLATE
+
+    similarity_near_dups_sql = EMBEDDING_NEAR_DUPS_SQL_TEMPLATE.format(threshold=0.35)
 
     text_stats_sql = f"""
 SELECT doc_id,
@@ -255,6 +262,7 @@ QUALIFY rank <= 5
         "dedup_jaccard": dedup.jaccard_pairs_sql(),
         "dedup_simhash": dedup.simhash_sql(),
         "sim_topk": sim_topk_sql,
+        "sim_near_dups": similarity_near_dups_sql,
         "events_asof": asof.PURCHASES_LAST_VIEW_SQL,
         # marc_fixture_triples: no oracle (nested-JSON mini-language not
         # ANSI-expressible); media_stats: no oracle (synthetic binary table

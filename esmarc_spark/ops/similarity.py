@@ -75,6 +75,49 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFr
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a < vec_b, cosine) with
+    cosine >= threshold.
+
+    Brute-force scoring shape (oracle-checkable); at scale, substitute the
+    candidate generation with hyperplane_signature buckets and keep the
+    same exact-verify stage — the verify math is identical either way.
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    joined = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        joined.select("vec_a", "vec_b", F.round(cos, ROUND_N).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+EMBEDDING_NEAR_DUPS_SQL_TEMPLATE = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> cast(a.embedding[i] AS double) * cast(b.embedding[i] AS double)))
+           / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> cast(a.embedding[i] AS double) * cast(a.embedding[i] AS double))))
+            * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                    i -> cast(b.embedding[i] AS double) * cast(b.embedding[i] AS double))))),
+         6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
 def hyperplane_signature(emb_col, n_bits: int = 8, dim: int = 64) -> F.Column:
     """B-bit random-hyperplane bucket id from pure expressions.
 

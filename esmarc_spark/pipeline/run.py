@@ -102,9 +102,13 @@ def run_incremental(
         triples.write.mode("overwrite").partitionBy("pday").parquet(
             f"{out_root}/triples"
         )
-        n_triples = spark.read.parquet(f"{out_root}/triples").where(
+        written = spark.read.parquet(f"{out_root}/triples").where(
             F.col("pday") == pday
-        ).count()
+        )
+        counts = written.agg(
+            F.count("*").alias("n_triples"),
+            F.count(F.when(F.col("pred") == "mentions", 1)).alias("n_mentions"),
+        ).collect()[0]
         metrics = part.agg(
             F.count("*").alias("n_docs"), F.max("warc_ts").alias("wm")
         ).collect()[0]
@@ -116,7 +120,8 @@ def run_incremental(
                     "watermark_ts": metrics["wm"],
                     "run_id": run_id,
                     "n_docs": metrics["n_docs"],
-                    "n_triples": n_triples,
+                    "n_mentions": counts["n_mentions"],
+                    "n_triples": counts["n_triples"],
                     "wall_sec": time.time() - t0,
                 }
             ]

@@ -59,5 +59,6 @@ def test_lineage_metrics(spark, tmp_path, inputs):
     assert len(lineage) == 3  # one row per day partition
     for row in lineage:
         assert row.status == "done"
-        assert row.n_docs > 0 and row.n_triples > 0
+        assert row.n_docs > 0 and row.n_triples > 0 and row.n_mentions > 0
+        assert row.n_mentions < row.n_triples
         assert row.watermark_ts is not None and row.wall_sec > 0
