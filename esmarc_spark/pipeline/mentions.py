@@ -70,7 +70,10 @@ def detect_mentions(webtext: DataFrame, surface_forms: list[str]) -> DataFrame:
 
 
 def detect_mentions_ngram(
-    webtext: DataFrame, gazetteer: DataFrame, max_n: int | None = None
+    webtext: DataFrame,
+    gazetteer: DataFrame,
+    max_n: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """JVM-only multi-word gazetteer scan: token n-grams ⋈ broadcast(surfaces).
 
@@ -93,7 +96,7 @@ def detect_mentions_ngram(
     toks = F.split(F.regexp_replace(F.col("text"), r"(^\W+|\W+$)", ""), " ")
     clean = F.transform(toks, lambda t: F.regexp_replace(t, r"(^\W+|\W+$)", ""))
     base = webtext.where(F.col("text").isNotNull()).select(
-        "url", "lang", clean.alias("_toks")
+        "url", "lang", *extra_cols, clean.alias("_toks")
     )
 
     # anchor-first candidate generation, all inside array expressions:
@@ -166,18 +169,19 @@ def detect_mentions_ngram(
         lambda acc: acc.kept,
     )
     matches = base.select(
-        "url", "lang", F.explode(folded).alias("g")
+        "url", "lang", *extra_cols, F.explode(folded).alias("g")
     ).select(
         F.col("g.surface_form").alias("surface_form"),
         "url",
         F.col("g.position").alias("position"),
         "lang",
+        *extra_cols,
     )
     # broadcast join keeps the contract uniform with the other detectors
     # (and, with a bloom-filtered candidate set, removes false positives)
     surf_df = gazetteer.select("surface_form").distinct()
     return matches.join(F.broadcast(surf_df), "surface_form").select(
-        "url", "surface_form", "position", "lang"
+        "url", "surface_form", "position", "lang", *extra_cols
     )
 
 

@@ -97,12 +97,12 @@ def windowed_mention_counts(
     (The streaming rendering of link.count_mentions_salted.)"""
     stream = spark.readStream.schema(WEBTEXT_SCHEMA).parquet(input_dir)
     docs = with_extracted_text(stream).withWatermark("warc_ts", watermark)
-    mentions = detect_mentions_ngram(docs, gazetteer)
-    # re-attach event time for the windowed agg (detect keeps url/lang only)
-    with_ts = mentions.join(
-        docs.select("url", "warc_ts").withWatermark("warc_ts", watermark), "url"
+    # warc_ts rides through detection as a passthrough column — stateless
+    # stages preserve the event time, so no stream-stream join is needed
+    mentions = detect_mentions_ngram(docs, gazetteer, extra_cols=("warc_ts",))
+    linked = mentions.join(
+        F.broadcast(gazetteer), "surface_form"
     )
-    linked = link_mentions(with_ts, gazetteer)
     return (
         linked.groupBy(
             F.window("warc_ts", window).alias("win"),
