@@ -84,6 +84,16 @@ def build_id(record: dict, key: str, entity: str) -> str | None:
         return mint_id(rid if isinstance(rid, str) else str(rid), entity)
 
 
+def build_isil(record: dict, key: str | list, entity: str) -> str | None:
+    """First 003/852$a/924$b value that is a known authority ISIL
+    (≈ id.py:62-72: membership test against the sameAs prefix dim)."""
+    value = field_values(record, key, entity)
+    for item in _as_list(value) if value else []:
+        if isinstance(item, str) and f"({item})" in AUTHORITY_PREFIXES:
+            return item
+    return None
+
+
 # ---------------------------------------------------------------------------
 # sameAs (cross-authority links — the reference's entity-linking edges)
 # ---------------------------------------------------------------------------

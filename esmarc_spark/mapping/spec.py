@@ -26,6 +26,7 @@ SCHEMA_CONTEXT = "https://raw.githubusercontent.com/slub/esmarc/master/conf/cont
 
 EXTRACTORS = {
     "id": X.build_id,
+    "isil": X.build_isil,
     "marc": lambda record, key, entity: X.field_values(record, key, entity),
     "name": X.build_name,
     "same_as": X.build_same_as,
@@ -75,6 +76,7 @@ _COMMON = {
     "single:@context": SCHEMA_CONTEXT,
     "single:@id": {"fn": "id", "key": "001"},
     "single:identifier": {"fn": "marc", "key": "001"},
+    "single:_isil": {"fn": "isil", "key": "003"},
     "single:_ppn": {"fn": "marc", "key": "001"},
     "single:dateModified": {"fn": "date_modified", "key": "005"},
     "multi:sameAs": {"fn": "same_as", "key": ["035..a", "670..u"]},
@@ -86,6 +88,7 @@ ENTITY_MAPPING: dict[str, dict] = {
         "single:@type": "http://schema.org/CreativeWork",
         "single:@context": SCHEMA_CONTEXT,
         "single:@id": {"fn": "id", "key": "001"},
+        "single:_isil": {"fn": "isil", "key": ["003", "852..a", "924..b"]},
         "single:_ppn": {"fn": "marc", "key": "001"},
         "single:_sourceID": {"fn": "marc", "key": "980..b"},
         "single:dateModified": {"fn": "date_modified", "key": "005"},

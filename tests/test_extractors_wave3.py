@@ -178,3 +178,13 @@ def test_merge_value_accumulates_all_unique(values):
 @settings(max_examples=100, deadline=None)
 def test_collapse_idempotent(v):
     assert collapse(collapse(v)) == collapse(v)
+
+
+def test_isil():
+    from esmarc_spark.mapping.extractors import build_isil
+
+    rec = {"001": "X", "003": ["DE-627"]}
+    assert build_isil(rec, "003", "persons") == "DE-627"
+    rec = {"001": "X", "003": ["XX-999"], "924": [{"__": [{"b": "DE-576"}]}]}
+    assert build_isil(rec, ["003", "852..a", "924..b"], "resources") == "DE-576"
+    assert build_isil({"001": "X"}, "003", "persons") is None
