@@ -382,15 +382,21 @@ def build_gender(record: dict, key: str, entity: str) -> str | None:
         return _SEX_LABELS.get(code)
 
 
-_PAGES_RE = re.compile(r"^(\d+)\s*S\.")
-
-
 def build_page_count(record: dict, key: str, entity: str) -> int | None:
+    """"123 S." -> 123. Reference contract (nop.py:5-24): every collected
+    300-value is visited in order and OVERWRITES the result — a trailing
+    non-page value (e.g. "24 cm") nulls an earlier match."""
     raw = field_values(record, key, entity)
+    result = None
     for item in _as_list(raw) if raw else []:
-        m = _PAGES_RE.match(item) if isinstance(item, str) else None
-        if m:
-            return int(m.group(1))
+        if not isinstance(item, str):
+            break
+        prefix = item.split("S.")[0].strip() if "S." in item else None
+        if prefix is not None and prefix.lstrip("-").isdigit():
+            result = int(prefix)
+        else:
+            result = None
+    return result
 
 
 def build_genre(record: dict, key: str, entity: str) -> dict | None:
@@ -406,14 +412,23 @@ def build_access_mode(record: dict, key: str, entity: str) -> str | None:
         return "online" if code[:2] in ("cr", "cz") else "local"
 
 
-def build_name(record: dict, key: str | list, entity: str) -> Any:
-    """Name with trailing ``" /"`` stripped (statement-of-responsibility)."""
+def build_alternate_names(record: dict, key: str | list, entity: str) -> Any:
+    """Name values with trailing ``" /"`` stripped (statement-of-responsibility)."""
     value = field_values(record, key, entity)
     if isinstance(value, str):
         return value[:-2] if value.endswith(" /") else value
     if isinstance(value, list):
         return [v[:-2] if isinstance(v, str) and v.endswith(" /") else v for v in value]
     return value
+
+
+def build_name(record: dict, key: str | list, entity: str) -> str | None:
+    """Single name: alternate-name cleanup, multi-values joined with " "
+    (namings.py:8-15 contract)."""
+    value = build_alternate_names(record, key, entity)
+    if isinstance(value, list):
+        value = " ".join(value)
+    return value or None
 
 
 def build_date_modified(record: dict, key: str, entity: str) -> str | None:

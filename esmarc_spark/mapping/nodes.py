@@ -85,9 +85,10 @@ def build_contributors(record: dict, keys: list, entity: str) -> list | None:
                     name += ", " + ", ".join(c)
                 node["name"] = name
             if order:
-                parts = [
-                    _as_list(smap[code])[0] for code in order if code in smap
-                ]
+                # reference parity (namings.py:87-94): the part is
+                # ``value[0]`` — first ELEMENT of a list but first CHARACTER
+                # of a plain string (a reference quirk we reproduce exactly)
+                parts = [smap[code][0] for code in order if code in smap]
                 node["name"] = ", ".join(parts)
             for item in _as_list(smap.get("0") or []):
                 if item.startswith("(DE-627)") and node.get("@id"):
@@ -333,11 +334,11 @@ def build_subfield_node(record: dict, key: str, entity: str) -> Any:
                     elif entity_type == "resources":
                         node["sameAs"] = BASE_ID + local
                 else:
+                    # unresolvable authority prefixes are DROPPED (reference
+                    # parity: gnd2uri -> None -> skipped, subfields.py:87-111)
                     uri = authority_uri(item)
                     if uri:
                         resolved.append(uri)
-                    else:
-                        node["identifier"] = merge_value(node.get("identifier"), item)
             if resolved:
                 node["sameAs"] = collapse(resolved)
         a = smap.get("a")
@@ -380,11 +381,10 @@ def _single_subset_node(smap: dict, tag: str) -> dict | None:
         if item.startswith(BASE_ID) and entity_type and entity_type != "resources":
             node["@id"] = f"{TARGET_ID}{entity_type}/{item[len(BASE_ID):]}"
         else:
+            # unresolvable prefixes dropped (reference parity)
             uri = authority_uri(item)
             if uri:
                 node["sameAs"] = merge_value(node.get("sameAs"), uri)
-            elif not item.startswith(BASE_ID):
-                node["identifier"] = merge_value(node.get("identifier"), item)
     a = smap.get("a")
     if isinstance(a, str) and len(a) > 1:
         node["name"] = a
@@ -402,32 +402,35 @@ def _single_subset_node(smap: dict, tag: str) -> dict | None:
 # ---------------------------------------------------------------------------
 
 
-def build_language(record: dict, key: str, entity: str) -> list | None:
-    raw = field_values(record, key, entity)
-    if not raw:
-        return None
+_ISO_CODESET = "http://id.loc.gov/vocabulary/iso639-2"
+
+
+def _language_node(code: str, en: str | None, de: str | None) -> dict:
+    return {
+        "@type": "CategoryCode",
+        "@id": f"{_ISO_CODESET}/{code}",
+        "codeValue": code,
+        "name": {"en": en, "de": de},
+        "inCodeSet": _ISO_CODESET,
+    }
+
+
+def build_language(record: dict, key: str, entity: str) -> Any:
+    """041 language codes -> CategoryCode nodes: K10plus remap, ISO 639-2
+    label dim, equality dedup; "und" fallback only for the $a selector
+    (language.py:5-39 node shape exactly)."""
     out = []
-    for code in _as_list(raw):
+    for code in _as_list(field_values(record, key, entity) or []):
         if not isinstance(code, str):
             continue
         iso = K10PLUS_TO_ISO.get(code, code)
         labels = LANGUAGE_LABELS.get(iso)
         if labels:
-            node = {
-                "@type": "CategoryCode",
-                "codeValue": iso,
-                "name": labels[0],
-                "alternateName": labels[1],
-                "inCodeSet": {
-                    "@type": "CategoryCodeSet",
-                    "@id": "https://id.loc.gov/vocabulary/iso639-2",
-                    "name": "ISO 639-2",
-                },
-            }
-        else:
-            node = {"@type": "CategoryCode", "codeValue": "und", "name": "Undetermined"}
-        if node not in out:
-            out.append(node)
+            node = _language_node(iso, labels[0], labels[1])
+            if node not in out:
+                out.append(node)
+    if key.endswith("a") and not out:
+        return _language_node("und", "Undetermined", "Nicht zu entscheiden")
     return out or None
 
 
@@ -718,11 +721,16 @@ def build_identified_by(record: dict, keys: Any, entity: str) -> list | None:
             node["validValues"] = _dedup_set(smap["a"])
         if node.get("validValues") and node not in out:
             out.append(node)
+    # NBN: ONE node shared across occurrences — later matches overwrite its
+    # validValues in place (id.py:228-236 appends the same dict object once)
+    nbn: dict[str, Any] | None = None
     for smap in occurrence_maps(record, "015", "*"):
         if smap.get("2") == "dnb" and smap.get("a"):
-            node = {"@type": "NBN", "validValues": _as_list(smap["a"])}
-            if node not in out:
-                out.append(node)
+            if nbn is None:
+                nbn = {"@type": "NBN", "validValues": _as_list(smap["a"])}
+                out.append(nbn)
+            else:
+                nbn["validValues"] = _as_list(smap["a"])
     for vd in ("16", "17", "18"):
         node: dict[str, Any] = {"@type": f"VD-{vd}", "validValues": None}
         for smap in occurrence_maps(record, "024", "7_"):

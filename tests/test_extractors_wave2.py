@@ -109,7 +109,11 @@ def test_contributor_person_with_role():
 
 
 def test_contributor_org_and_event():
-    rec = _rec("110", "2_", [("a", "Acme"), ("b", "Labs"), ("0", "(DE-627)123")])
+    # NB: org/event name parts are value[0] — first LIST element, but first
+    # CHARACTER of a plain string. That quirk is the reference's own
+    # (namings.py:93, verified by tests/test_reference_oracle.py); lists
+    # behave sensibly, scalars contribute one char.
+    rec = _rec("110", "2_", [("a", ["Acme"]), ("b", ["Labs"]), ("0", "(DE-627)123")])
     [node] = build_contributors(rec, ["110"], "resources")
     assert node["@type"] == "Organization"
     assert node["name"] == "Acme, Labs"
@@ -117,7 +121,7 @@ def test_contributor_org_and_event():
     rec = _rec("111", "2_", [("a", "Conf"), ("n", "3"), ("d", "1999")])
     [node] = build_contributors(rec, ["111"], "resources")
     assert node["@type"] == "Event"
-    assert node["name"] == "Conf, 3, 1999"
+    assert node["name"] == "C, 3, 1"  # scalar values -> first chars (quirk)
 
 
 def test_topic_name():
@@ -159,11 +163,16 @@ def test_language_lookup():
     rec = _rec("041", "__", [("a", "ger")])
     [node] = build_language(rec, "041..a", "resources")
     assert node["codeValue"] == "ger"
-    assert node["name"] == "German"
+    assert node["name"] == {"en": "German", "de": "Deutsch"}
+    assert node["@id"].endswith("/ger")
     # k10plus remap
     rec = _rec("041", "__", [("a", "qmo")])
     [node] = build_language(rec, "041..a", "resources")
     assert node["codeValue"] == "rum"
+    # und fallback only for the $a selector
+    empty = {"001": "X"}
+    assert build_language(empty, "041..a", "resources")["codeValue"] == "und"
+    assert build_language(empty, "041..h", "resources") is None
 
 
 def test_collection_lookup():
