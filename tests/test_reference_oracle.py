@@ -206,6 +206,7 @@ def _cases():
         ("isPartOf", N.build_is_part_of, ["245", "773"], "relatedTo", "get_ispartof"),
         ("relations", N.build_relations, ["770", "772", "775", "776", "780", "785", "787"], "relatedTo", "get_relations"),
         ("about", N.build_about, ABOUT_KEYS, "about", "handle_about"),
+        ("relatedTo", N.build_related, "500..0", "relatedTo", "relatedTo"),
         ("subfield711", N.build_subfield_node, "711", "subfields", "get_subfield"),
         ("geo", X.build_geo_coordinates, {"longitude": ["034..d", "034..e"], "latitude": ["034..f", "034..g"]}, "coordinates", "getGeoCoordinates"),
     ]
