@@ -304,8 +304,10 @@ WITH gaps AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS session_seq
+         -- cast: DuckDB window sum() yields HUGEINT which pandas renders as
+         -- float64; Spark's is bigint -> value-hash mismatch without the cast
+         cast(sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS bigint) AS session_seq
   FROM gaps
 )
 SELECT user_id, session_seq, count(*) AS n_events,

@@ -74,11 +74,20 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 3
+    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 2
 ) -> DataFrame:
     """(src, dst) string edges -> (node, component) with component = min uri.
 
     Deterministic, idempotent; converges in O(log n) alternating rounds.
+
+    Action cadence: one eager localCheckpoint every ``checkpoint_every``
+    rounds materializes the round's edge set, and the convergence checksum
+    runs ONLY on those rounds — it then scans already-cached partitions
+    instead of re-executing the round's shuffles as a second full job.
+    Off-rounds run zero actions and at most ``checkpoint_every`` rounds of
+    lineage. Comparing checksums two rounds apart is safe because
+    large-star/small-star converges monotonically (Kiveris et al. §3 —
+    the edge-potential strictly decreases until fixpoint, so no 2-cycles).
     """
     e = (
         edges.select("src", "dst")
@@ -89,12 +98,12 @@ def connected_components(
     prev = None
     for i in range(max_iter):
         e = _small_star(_large_star(e))
-        if (i + 1) % checkpoint_every == 0:
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
             e = e.localCheckpoint(eager=True)
-        cur = _checksum(e)
-        if cur == prev:
-            break
-        prev = cur
+            cur = _checksum(e)
+            if cur == prev:
+                break
+            prev = cur
     # after convergence every edge points node -> component min
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
@@ -111,10 +120,15 @@ def rewrite_through_canonical(
     df: DataFrame, mapping: DataFrame, column: str
 ) -> DataFrame:
     """Rewrite a URI column through the canonical dim (left join + coalesce;
-    identity when the uri is in no component)."""
+    identity when the uri is in no component).
+
+    No forced broadcast: the uri->canonical dim grows with the number of
+    linked entities, so at scale it can exceed any broadcast threshold. AQE
+    picks broadcast when the dim is actually small at runtime and falls back
+    to a shuffle join (with skew splitting) when it isn't."""
     m = mapping.withColumnRenamed("uri", column)
     return (
-        df.join(F.broadcast(m), column, "left")
+        df.join(m, column, "left")
         .withColumn(column, F.coalesce("canonical_uri", column))
         .drop("canonical_uri")
     )

@@ -81,20 +81,30 @@ def spatial_enrich(
     """entities(name, lat, lon, ...) ⋈ gazetteer(geo_name, geo_lat, geo_lon,
     geo_id) within radius_km, optional substring name predicate.
 
-    Cell size = radius in degrees at the equator (conservative: cells only
-    ever over-approximate the radius in latitude; longitude shrink makes
-    neighbors still sufficient for |lat| < 85). The probe side replicates to
-    its 3x3 cell neighborhood — bounded 9x fan-out, uniform keys, ordinary
-    shuffle join; the gazetteer side keys once per row.
+    Cell size = radius in degrees of LATITUDE. One degree of longitude spans
+    fewer km away from the equator (shrinks by cos(lat)), so r km can cross
+    up to ceil(1/cos(lat)) longitude cells — the probe side therefore fans
+    out dynamically to (2*kx+1) x 3 neighbor cells where
+    kx = ceil(1/cos(|lat| + cell)) (clamped at 85° latitude). The grid itself
+    stays global and latitude-independent so join keys are stable; only the
+    probe fan-out widens (3x3 at the equator, ~7x3 at 60°, bounded ~25x3 at
+    the 85° clamp). Gazetteer side keys once per row; ordinary shuffle join.
     """
     cell_deg = radius_km / 111.0  # 1 degree latitude ~ 111 km
     gaz = gazetteer.withColumn("_cell", _cell(F.col("geo_lat"), F.col("geo_lon"), cell_deg))
-    shifts = F.array(
-        *[
-            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
-            for dy in (-1, 0, 1)
-            for dx in (-1, 0, 1)
-        ]
+    # per-row longitude fan-out: worst-case cos over the probe's possible
+    # match band (|lat| + one cell of latitude slack), clamped to 85°
+    lat_band = F.least(F.abs(F.col("lat")) + F.lit(cell_deg), F.lit(85.0))
+    kx = F.ceil(F.lit(1.0) / F.cos(F.radians(lat_band))).cast("int")
+    dys = F.sequence(F.lit(-1), F.lit(1))
+    shifts = F.flatten(
+        F.transform(
+            dys,
+            lambda dy: F.transform(
+                F.sequence(-kx, kx),
+                lambda dx: F.struct(dy.alias("dy"), dx.alias("dx")),
+            ),
+        )
     )
     probes = (
         entities.withColumn("_base", _cell(F.col("lat"), F.col("lon"), cell_deg))

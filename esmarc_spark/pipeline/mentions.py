@@ -69,54 +69,21 @@ def detect_mentions(webtext: DataFrame, surface_forms: list[str]) -> DataFrame:
     )
 
 
-def detect_mentions_ngram(
-    webtext: DataFrame,
-    gazetteer: DataFrame,
-    max_n: int | None = None,
-    extra_cols: tuple[str, ...] = (),
-) -> DataFrame:
-    """JVM-only multi-word gazetteer scan: token n-grams ⋈ broadcast(surfaces).
-
-    The production hot path (input_hint: no Python in the hot path): tokens
-    come from split(), n-grams for every length present in the gazetteer are
-    built with pure array expressions, posexplode fans them out, and the
-    broadcast join never shuffles the corpus. Longest-match-first overlap
-    semantics are enforced afterwards: an n-gram match starting inside a
-    longer match at the same or earlier position is kept (both reported) —
-    only *nested* shorter matches of the SAME span start are suppressed via
-    the greatest-length-per-start rule.
-
-    position = token index of the first token of the match.
-    """
-    surfaces = [r["surface_form"] for r in gazetteer.select("surface_form").distinct().collect()]
-    lengths = sorted({len(s.split(" ")) for s in surfaces})
-    if max_n is not None:
-        lengths = [n for n in lengths if n <= max_n]
-
+def _tokens_base(webtext: DataFrame, extra_cols: tuple[str, ...]) -> DataFrame:
     toks = F.split(F.regexp_replace(F.col("text"), r"(^\W+|\W+$)", ""), " ")
     clean = F.transform(toks, lambda t: F.regexp_replace(t, r"(^\W+|\W+$)", ""))
-    base = webtext.where(F.col("text").isNotNull()).select(
+    return webtext.where(F.col("text").isNotNull()).select(
         "url", "lang", *extra_cols, clean.alias("_toks")
     )
 
-    # anchor-first candidate generation, all inside array expressions:
-    #  1. anchors = token positions whose token can START some surface form
-    #     (one cheap isin over the raw tokens — no string concatenation);
-    #  2. n-grams are built ONLY at anchor positions (~a few per doc instead
-    #     of every position x every length — at 10^12 docs the difference
-    #     between allocating ~100 concat strings per doc and ~5);
-    #  3. candidates = anchor grams that equal a full surface form.
-    surface_set = sorted(set(surfaces))
-    anchor_tokens = sorted({s.split(" ")[0] for s in surface_set})
-    # NOTE for >10^4-surface gazetteers: swap both isin literal sets for
-    # bloom filters (false positives then removed by the broadcast join).
+
+def _gram_structs(lengths: list[int]) -> F.Column:
+    """Array of (position, n_toks, surface_form) structs — one candidate
+    n-gram per token position per gazetteer length, nulls filtered."""
     arr = F.col("_toks")
     size = F.size(arr)
     positions = F.when(size >= 1, F.sequence(F.lit(1), size)).otherwise(
         F.array().cast("array<int>")
-    )
-    anchors = F.filter(
-        positions, lambda i: F.element_at(arr, i).isin(*anchor_tokens)
     )
 
     def gram_at(i, n: int) -> F.Column:
@@ -132,19 +99,18 @@ def detect_mentions_ngram(
             ),
         )
 
-    anchor_grams = F.flatten(
-        F.transform(anchors, lambda i: F.array(*[gram_at(i, n) for n in lengths]))
+    grams = F.flatten(
+        F.transform(positions, lambda i: F.array(*[gram_at(i, n) for n in lengths]))
     )
-    candidates = F.filter(
-        anchor_grams,
-        lambda g: g.isNotNull() & g.surface_form.isin(*surface_set),
-    )
+    return F.filter(grams, lambda g: g.isNotNull())
 
-    # exact leftmost-longest (regex finditer) semantics, computed per doc
-    # inside the array: sort candidates by (position asc, length desc) and
-    # fold with a consumed-until cursor — a match is kept iff it starts at
-    # or after the end of the previously kept match. Chains resolve exactly
-    # like the sequential scanner; no suppression shuffle is needed at all.
+
+def _fold_leftmost_longest(candidates: F.Column) -> F.Column:
+    """Strict leftmost-longest (regex finditer) semantics over a candidate
+    array: sort by (position asc, length desc) — a total order, (position,
+    n_toks) is unique per doc — then fold with a consumed-until cursor; a
+    match is kept iff it starts at or after the end of the previously kept
+    match. All later-start overlapping matches are dropped."""
     ordered = F.array_sort(
         candidates,
         lambda a, b: F.when(a.position < b.position, F.lit(-1))
@@ -156,7 +122,7 @@ def detect_mentions_ngram(
     empty_kept = F.array().cast(
         "array<struct<position:bigint,n_toks:int,surface_form:string>>"
     )
-    folded = F.aggregate(
+    return F.aggregate(
         ordered,
         F.struct(F.lit(-1).cast("long").alias("consumed"), empty_kept.alias("kept")),
         lambda acc, g: F.when(
@@ -168,20 +134,101 @@ def detect_mentions_ngram(
         ).otherwise(acc),
         lambda acc: acc.kept,
     )
-    matches = base.select(
-        "url", "lang", *extra_cols, F.explode(folded).alias("g")
+
+
+def detect_mentions_ngram(
+    webtext: DataFrame,
+    gazetteer: DataFrame,
+    max_n: int | None = None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """JVM-only multi-word gazetteer scan: token n-grams ⋈ broadcast(surfaces).
+
+    The production hot path (input_hint: no Python in the hot path).
+    Batch plan: candidate n-grams for every gazetteer token-length are built
+    at every position with pure array expressions, exploded, and membership
+    is decided by a broadcast hash join against the surface dim — the PLAN
+    carries no gazetteer literals, so plan size and driver memory are
+    independent of gazetteer cardinality (the round-1 version inlined two
+    ``isin`` literal sets; at the 10^5–10^6-surface gazetteers the north
+    star implies, that is a plan-size/driver hazard). Overlap resolution
+    (strict leftmost-longest, see ``_fold_leftmost_longest``) then re-groups
+    per document — a shuffle that carries ONLY matched mentions, never the
+    corpus.
+
+    Streaming plan: a non-windowed groupBy is not allowed in append mode, so
+    streaming inputs keep the fold in-array and test membership with an
+    inlined ``isin`` set — acceptable for the bounded gazetteers a streaming
+    job broadcasts anyway; use the batch path for web-scale gazetteers.
+
+    position = token index of the first token of the match.
+    """
+    spark = webtext.sparkSession
+    surf_df = gazetteer.select("surface_form").distinct()
+    # only the distinct token-count SET is collected (a handful of ints)
+    lengths = sorted(
+        r[0]
+        for r in surf_df.select(F.size(F.split("surface_form", " ")).alias("n"))
+        .distinct()
+        .collect()
+    )
+    if max_n is not None:
+        lengths = [n for n in lengths if n <= max_n]
+    if not lengths:  # empty gazetteer -> empty mentions, stable schema
+        schema = MENTIONS_SCHEMA
+        for c in extra_cols:
+            schema += f", {c} {webtext.schema[c].dataType.simpleString()}"
+        return spark.createDataFrame([], schema)
+
+    base = _tokens_base(webtext, extra_cols)
+    grams = _gram_structs(lengths)
+
+    if webtext.isStreaming:
+        surface_set = sorted(
+            r["surface_form"] for r in surf_df.collect()
+        )
+        candidates = F.filter(
+            grams, lambda g: g.surface_form.isin(*surface_set)
+        )
+        folded = _fold_leftmost_longest(candidates)
+        return base.select(
+            "url", "lang", *extra_cols, F.explode(folded).alias("g")
+        ).select(
+            "url",
+            F.col("g.surface_form").alias("surface_form"),
+            F.col("g.position").alias("position"),
+            "lang",
+            *extra_cols,
+        )
+
+    candidates = base.select(
+        "url", "lang", *extra_cols, F.explode(grams).alias("g")
     ).select(
         F.col("g.surface_form").alias("surface_form"),
         "url",
+        "lang",
+        *extra_cols,
+        F.col("g.position").alias("position"),
+        F.col("g.n_toks").alias("n_toks"),
+    )
+    # broadcast hash join = the gazetteer membership test; never shuffles
+    # the candidate (fact) side and inlines nothing into the plan
+    matched = candidates.join(F.broadcast(surf_df), "surface_form")
+
+    # collect_list order is nondeterministic, but the fold sorts first with
+    # a total-order comparator, so the result is deterministic
+    per_doc = matched.groupBy("url", "lang", *extra_cols).agg(
+        F.collect_list(F.struct("position", "n_toks", "surface_form")).alias("_c")
+    )
+    folded = _fold_leftmost_longest(F.col("_c"))
+    return per_doc.select(
+        "url", "lang", *extra_cols, F.explode(folded).alias("g")
+    ).select(
+        "url",
+        F.col("g.surface_form").alias("surface_form"),
         F.col("g.position").alias("position"),
         "lang",
         *extra_cols,
-    )
-    # broadcast join keeps the contract uniform with the other detectors
-    # (and, with a bloom-filtered candidate set, removes false positives)
-    surf_df = gazetteer.select("surface_form").distinct()
-    return matches.join(F.broadcast(surf_df), "surface_form").select(
-        "url", "surface_form", "position", "lang", *extra_cols
     )
 
 

@@ -57,6 +57,45 @@ def test_spatial_enrich_grid_join(spark):
     assert not any(g == "g4" for _, g in rows)
 
 
+def test_spatial_enrich_east_west_near_radius(spark):
+    # regression (ADVICE r1): an east-west pair near the radius at lat 51.
+    # 5 km of longitude at lat 51 spans 5/(111*cos(51)) ~ 0.0716 deg —
+    # ~1.6 equatorial-sized cells, so a fixed 3x3 fan-out missed it.
+    lat = 51.0
+    dlon = 4.9 / (111.0 * math.cos(math.radians(lat)))  # ~4.9 km east
+    entities = spark.createDataFrame(
+        [("Xstadt", lat, 13.0)], "name string, lat double, lon double"
+    )
+    gaz = spark.createDataFrame(
+        [("Xstadt Ost", lat, 13.0 + dlon, "g1")],
+        "geo_name string, geo_lat double, geo_lon double, geo_id string",
+    )
+    [row] = spatial_enrich(entities, gaz, radius_km=5.0).collect()
+    assert row.geo_id == "g1"
+    assert math.isclose(row.distance_km, 4.9, abs_tol=0.05)
+    # and a pair just OUTSIDE the radius still filters out
+    far = spark.createDataFrame(
+        [("Xstadt Fern", lat, 13.0 + dlon * 1.1, "g2")],
+        "geo_name string, geo_lat double, geo_lon double, geo_id string",
+    )
+    assert spatial_enrich(entities, far, radius_km=5.0).count() == 0
+
+
+def test_spatial_enrich_high_latitude(spark):
+    # at lat 78 (Svalbard) 1/cos ~ 4.8 -> kx=5; east-west 4.5 km must match
+    lat = 78.0
+    dlon = 4.5 / (111.0 * math.cos(math.radians(lat)))
+    entities = spark.createDataFrame(
+        [("Pyramiden", lat, 16.0)], "name string, lat double, lon double"
+    )
+    gaz = spark.createDataFrame(
+        [("Pyramiden havn", lat, 16.0 + dlon, "g1")],
+        "geo_name string, geo_lat double, geo_lon double, geo_id string",
+    )
+    [row] = spatial_enrich(entities, gaz, radius_km=5.0).collect()
+    assert row.geo_id == "g1"
+
+
 def test_spatial_enrich_distance_exact(spark):
     entities = spark.createDataFrame(
         [("X", 51.0, 13.0)], "name string, lat double, lon double"

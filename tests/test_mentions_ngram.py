@@ -1,0 +1,107 @@
+"""Unit tests for detect_mentions_ngram (batch join path).
+
+Round-2 regression coverage: the batch path must keep the plan free of
+gazetteer literals (membership via broadcast join), return an empty frame
+for an empty gazetteer instead of raising (ADVICE r1), and preserve the
+strict leftmost-longest overlap semantics of the regex reference detector.
+"""
+
+from pyspark.sql import functions as F
+
+from esmarc_spark.pipeline.mentions import (
+    detect_mentions,
+    detect_mentions_ngram,
+    detect_mentions_tokenized,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string, lang string")
+
+
+def _gaz(spark, surfaces):
+    return spark.createDataFrame(
+        [(s,) for s in surfaces], "surface_form string"
+    )
+
+
+def test_ngram_empty_gazetteer_returns_empty(spark):
+    docs = _docs(spark, [("u1", "some text here", "en")])
+    out = detect_mentions_ngram(docs, _gaz(spark, []))
+    assert out.columns == ["url", "surface_form", "position", "lang"]
+    assert out.count() == 0
+    # extra passthrough columns keep their input types
+    docs_ts = docs.withColumn("warc_ts", F.current_timestamp())
+    out2 = detect_mentions_ngram(docs_ts, _gaz(spark, []), extra_cols=("warc_ts",))
+    assert out2.columns == ["url", "surface_form", "position", "lang", "warc_ts"]
+    assert dict(out2.dtypes)["warc_ts"] == "timestamp"
+    assert out2.count() == 0
+
+
+def test_ngram_leftmost_longest(spark):
+    # "Main" at token 2 is consumed by the longer match at 0; token 5 kept
+    docs = _docs(spark, [("u1", "Frankfurt am Main liegt am Main", "de")])
+    out = detect_mentions_ngram(docs, _gaz(spark, ["Frankfurt am Main", "Main"]))
+    rows = {(r.surface_form, r.position) for r in out.collect()}
+    assert rows == {("Frankfurt am Main", 0), ("Main", 5)}
+
+
+def test_ngram_later_start_overlap_dropped(spark):
+    # "am Main" starts inside the kept "Frankfurt am Main" -> dropped
+    docs = _docs(spark, [("u1", "Frankfurt am Main", "de")])
+    out = detect_mentions_ngram(
+        docs, _gaz(spark, ["Frankfurt am Main", "am Main"])
+    )
+    rows = {(r.surface_form, r.position) for r in out.collect()}
+    assert rows == {("Frankfurt am Main", 0)}
+
+
+def test_ngram_matches_tokenized_on_single_tokens(spark):
+    docs = _docs(
+        spark,
+        [
+            ("u1", "Dresden und Leipzig sind in Sachsen.", "de"),
+            ("u2", "Leipzig, dann Dresden", "de"),
+            ("u3", None, "de"),
+        ],
+    )
+    gaz = _gaz(spark, ["Dresden", "Leipzig"])
+    a = {
+        (r.url, r.surface_form, r.position)
+        for r in detect_mentions_ngram(docs, gaz).collect()
+    }
+    b = {
+        (r.url, r.surface_form, r.position)
+        for r in detect_mentions_tokenized(docs, gaz).collect()
+    }
+    assert a == b and len(a) == 4
+
+
+def test_ngram_matches_regex_surfaces(spark):
+    # multi-word parity with the pandas-UDF regex detector on (url, surface)
+    docs = _docs(
+        spark,
+        [
+            ("u1", "Die Deutsche Nationalbibliothek in Frankfurt am Main", "de"),
+            ("u2", "Frankfurt ist nicht Frankfurt am Main", "de"),
+        ],
+    )
+    surfaces = ["Deutsche Nationalbibliothek", "Frankfurt am Main", "Frankfurt"]
+    a = {
+        (r.url, r.surface_form)
+        for r in detect_mentions_ngram(docs, _gaz(spark, surfaces)).collect()
+    }
+    b = {
+        (r.url, r.surface_form)
+        for r in detect_mentions(docs, surfaces).collect()
+    }
+    assert a == b
+
+
+def test_ngram_plan_has_no_gazetteer_literals(spark):
+    # the whole point of the join path: gazetteer values never enter the plan
+    docs = _docs(spark, [("u1", "Zzyzxvalue elsewhere", "en")])
+    out = detect_mentions_ngram(docs, _gaz(spark, ["Zzyzxvalue", "Qqmarker token"]))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Zzyzxvalue" not in plan
+    assert "Qqmarker" not in plan

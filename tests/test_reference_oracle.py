@@ -233,8 +233,10 @@ def test_reference_oracle_parity(ref):
         f"  theirs: {json.dumps(b, sort_keys=True, ensure_ascii=False)[:300]}"
         for label, rid, a, b in mismatches[:10]
     )
+    # exact parity is the achieved state (round 1: 0/646 mismatches) —
+    # assert zero so any regression fails loudly, not at the 0.95 P/R floor
     agreement = 1 - len(mismatches) / total
-    assert agreement >= 0.95, (
+    assert not mismatches, (
         f"reference-oracle agreement {agreement:.3f} ({len(mismatches)}/{total} cells differ)\n{detail}"
     )
 
