@@ -146,6 +146,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim_near_dups(spark, sf):
         return similarity.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.35)
 
+    def sim_near_dups_bucketed(spark, sf):
+        # the scale path: LSH-bucketed candidates + exact verify; its oracle
+        # reproduces the identical bucketing in DuckDB, so the value-hash
+        # checks the LSH logic itself (recall vs brute is pytest-gated)
+        return similarity.embedding_near_dups_bucketed(
+            _t(spark, sf, "embeddings"), threshold=0.35
+        )
+
     def events_asof(spark, sf):
         from esmarc_spark.ops.asof import purchases_with_last_view
 
@@ -191,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "sim_topk": sim_topk,
         "sim_near_dups": sim_near_dups,
+        "sim_near_dups_bucketed": sim_near_dups_bucketed,
         "events_asof": events_asof,
         "media_stats": media_stats,
         "marc_fixture_triples": marc_fixture_triples,
@@ -204,9 +213,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from esmarc_spark.ops import asof, dedup, kg_documents, relational, text
-    from esmarc_spark.ops.similarity import EMBEDDING_NEAR_DUPS_SQL_TEMPLATE
+    from esmarc_spark.ops.similarity import (
+        EMBEDDING_NEAR_DUPS_SQL_TEMPLATE,
+        embedding_near_dups_bucketed_sql,
+    )
 
     similarity_near_dups_sql = EMBEDDING_NEAR_DUPS_SQL_TEMPLATE.format(threshold=0.35)
+    similarity_near_dups_bucketed_sql = embedding_near_dups_bucketed_sql(threshold=0.35)
 
     text_stats_sql = f"""
 SELECT doc_id,
@@ -263,6 +276,7 @@ QUALIFY rank <= 5
         "dedup_simhash": dedup.simhash_sql(),
         "sim_topk": sim_topk_sql,
         "sim_near_dups": similarity_near_dups_sql,
+        "sim_near_dups_bucketed": similarity_near_dups_bucketed_sql,
         "events_asof": asof.PURCHASES_LAST_VIEW_SQL,
         # marc_fixture_triples: no oracle (nested-JSON mini-language not
         # ANSI-expressible); media_stats: no oracle (synthetic binary table

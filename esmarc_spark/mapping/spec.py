@@ -183,6 +183,29 @@ ENTITY_MAPPING: dict[str, dict] = {
         "multi:author": {"fn": "subfield_node", "key": "500"},
         "multi:contributor": {"fn": "subfield_node", "key": "700"},
         "single:datePublished": {"fn": "marc", "key": ["130..f", "260..c", "264..c", "362..a"]},
+        # ref esmarc.py works block: Thesis/issn/isbn/hasPart/isPartOf and the
+        # 773-linkage scalars are plain getmarc cells (not the resources-style
+        # node builders); numberOfPages uses getnumberofpages
+        "single:Thesis": {"fn": "marc", "key": ["502..a", "502..b", "502..c", "502..d"]},
+        "multi:issn": {
+            "fn": "marc",
+            "key": ["022..a", "022..y", "022..z", "029..a", "490..x", "730..x",
+                     "773..x", "776..x", "780..x", "785..x", "800..x", "810..x",
+                     "811..x", "830..x"],
+        },
+        "multi:isbn": {
+            "fn": "marc",
+            "key": ["020..a", "022..a", "022..z", "776..z", "780..z", "785..z"],
+        },
+        "single:hasPart": {"fn": "marc", "key": "773..g"},
+        "single:isPartOf": {"fn": "marc", "key": ["773..t", "773..s", "773..a"]},
+        "single:numberOfPages": {
+            "fn": "page_count",
+            "key": ["300..a", "300..b", "300..c", "300..d", "300..e", "300..f", "300..g"],
+        },
+        "single:pageStart": {"fn": "marc", "key": "773..q"},
+        "single:issueNumber": {"fn": "marc", "key": "773..l"},
+        "single:volumeNumer": {"fn": "marc", "key": "773..v"},
         "single:genre": {"fn": "marc", "key": "655..a"},
         "single:license": {"fn": "marc", "key": "540..a"},
         "multi:inLanguage": {"fn": "marc", "key": ["377..a", "041..a", "041..d", "130..l", "730..l"]},
@@ -270,3 +293,8 @@ ENTITY_MAPPING: dict[str, dict] = {
         "single:adressRegion": {"fn": "marc", "key": "043..c"},
     },
 }
+
+# works is the ONLY reference entity without a multi:about cell
+# (ref esmarc.py:92-120 vs every other entity block) — _COMMON adds it,
+# so strip it here
+del ENTITY_MAPPING["works"]["multi:about"]

@@ -101,6 +101,127 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_bucketed(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """THE scale path for near-dup pairs (the round-1 default was an
+    all-pairs broadcast join — O(n²) score + full-table broadcast, a
+    scale-killer past ~10⁵ vectors; it is now the oracle harness only).
+
+    Multi-table hyperplane LSH: ``n_tables`` independent ``n_bits``-bit
+    signatures; candidate pairs are vectors sharing a bucket in ANY table
+    (self-equi-join on (table, signature) — never a cross product, bucket
+    populations ~uniform so no skew); pairs are deduped and then verified
+    with the same exact cosine math as the brute-force path. Recall for a
+    pair at cosine c is 1-(1-p^b)^T with p = 1-acos(c)/π — at c≥0.9,
+    b=4, T=8 that is >0.999 (pytest asserts ≥0.9 vs brute force).
+    Cost: shuffle carries each vector n_tables times; per-bucket scoring is
+    quadratic only within a bucket (2^b buckets per table, tunable)."""
+    emb = embeddings.select("vec_id", "embedding")
+    sig_cols = [
+        hyperplane_signature(F.col("embedding"), n_bits, dim, salt=t + 1).alias(
+            f"_s{t}"
+        )
+        for t in range(n_tables)
+    ]
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("sig"))
+            for t in range(n_tables)
+        ]
+    )
+    buckets = (
+        emb.select("vec_id", "embedding", *sig_cols)
+        .select("vec_id", "embedding", F.explode(tables).alias("b"))
+        .select(
+            "vec_id", "embedding", F.col("b.t").alias("t"), F.col("b.sig").alias("sig")
+        )
+    )
+    a = buckets.select(
+        F.col("t"), F.col("sig"),
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+    )
+    b = buckets.select(
+        F.col("t"), F.col("sig"),
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+    )
+    cand = (
+        a.join(b, ["t", "sig"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])  # agree in >1 table -> score once
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return cand.select(
+        "vec_a", "vec_b", F.round(cos, ROUND_N).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
+def embedding_near_dups_bucketed_sql(
+    threshold: float = 0.95,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB rendering of the SAME bucketed plan — identical sign matrices,
+    bucket ids, candidate set, and verify math, so the driver's value-hash
+    compare checks the LSH bucketing logic itself, not just the verify."""
+
+    def sig_expr(salt: int) -> str:
+        bits = []
+        for bpos, row in enumerate(sign_matrix(n_bits, dim, salt)):
+            arr = "[" + ", ".join(f"{s:.1f}" for s in row) + "]"
+            proj = (
+                f"list_sum(list_transform(range(1, {dim} + 1), "
+                f"i -> cast(embedding[i] AS double) * ({arr})[i]))"
+            )
+            bits.append(f"(CASE WHEN {proj} > 0 THEN {2 ** bpos} ELSE 0 END)")
+        return " + ".join(bits)
+
+    sig_cols = ",\n         ".join(
+        f"{sig_expr(t + 1)} AS s{t}" for t in range(n_tables)
+    )
+    bucket_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, s{t} AS sig FROM sigs"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id,
+         {sig_cols}
+  FROM embeddings
+),
+buckets AS (
+  {bucket_union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.sig = b.sig
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         round(
+           list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                    i -> cast(ea.embedding[i] AS double) * cast(eb.embedding[i] AS double)))
+           / (sqrt(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                    i -> cast(ea.embedding[i] AS double) * cast(ea.embedding[i] AS double))))
+            * sqrt(list_sum(list_transform(range(1, len(eb.embedding) + 1),
+                    i -> cast(eb.embedding[i] AS double) * cast(eb.embedding[i] AS double))))),
+         6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
 EMBEDDING_NEAR_DUPS_SQL_TEMPLATE = """
 WITH pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -118,26 +239,36 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}
 """
 
 
-def hyperplane_signature(emb_col, n_bits: int = 8, dim: int = 64) -> F.Column:
+def sign_matrix(n_bits: int, dim: int, salt: int = 0) -> list[list[float]]:
+    """±1 hyperplane components c_{b,d}, chosen by the parity of the same
+    60-bit portable md5 hash Spark-side expressions use — computed once in
+    Python so both the Spark plan and the DuckDB oracle inline the identical
+    constants (and the plan stays small: 1 literal per component instead of
+    a folded when(md5(...)) tree). ``salt`` yields independent tables."""
+    import hashlib
+
+    rows = []
+    for b in range(n_bits):
+        row = []
+        for d in range(dim):
+            key = f"hp:{b}:{d}" if salt == 0 else f"hp{salt}:{b}:{d}"
+            h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+            row.append(1.0 if h & 1 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def hyperplane_signature(
+    emb_col, n_bits: int = 8, dim: int = 64, salt: int = 0
+) -> F.Column:
     """B-bit random-hyperplane bucket id from pure expressions.
 
-    Hyperplane h_b has component c_{b,d} = ±1 chosen by the parity of a
-    portable hash of (b, d) — deterministic, engine-portable, and never
-    materializes the hyperplane matrix.
+    sign(h_b · v) per bit, signs from ``sign_matrix`` — deterministic and
+    engine-portable (the DuckDB oracle reproduces the identical bucket ids).
     """
-    from esmarc_spark.ops.hashing import portable_hash
-
     sig = None
-    for b in range(n_bits):
-        signs = F.array(
-            *[
-                F.when(
-                    portable_hash(F.lit(f"hp:{b}:{d}")).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for d in range(dim)
-            ]
-        )
+    for b, row in enumerate(sign_matrix(n_bits, dim, salt)):
+        signs = F.array(*[F.lit(s) for s in row])
         proj = F.aggregate(
             F.zip_with(emb_col, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),

@@ -126,3 +126,40 @@ def test_text_stats_values(spark):
     assert row.lang_guess == "en"
     assert row.mean_token_len == 3.0
     assert len(row.fingerprint) == 32
+
+
+def test_embedding_near_dups_bucketed_recall(spark):
+    """The LSH-bucketed scale path must recover >=0.9 of the brute-force
+    near-dup pairs at a real near-dup threshold (clustered vectors, c>=0.9),
+    and every returned pair must be a true pair with the exact cosine."""
+    from esmarc_spark.ops.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_bucketed,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype("float64")
+    rows = []
+    vid = 0
+    for i in range(40):
+        for _ in range(3):  # 3 jittered copies per cluster -> true near-dups
+            v = base[i] + rng.randn(16) * 0.03
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dups(df, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dups_bucketed(
+            df, threshold=0.9, n_bits=4, n_tables=8, dim=16
+        ).collect()
+    }
+    assert brute, "fixture must produce true near-dup pairs"
+    # no false positives: exact verify guarantees lsh ⊆ brute, same scores
+    for pair, cos in lsh.items():
+        assert pair in brute and abs(brute[pair] - cos) < 1e-9
+    recall = len(set(lsh) & set(brute)) / len(brute)
+    assert recall >= 0.9, f"recall {recall:.3f} of {len(brute)} true pairs"

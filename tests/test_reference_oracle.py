@@ -259,3 +259,104 @@ def test_reference_oracle_exactness_report(ref):
     print("\nper-extractor mismatching records (of 17):")
     for label, bad in rows:
         print(f"  {label:20s} {bad}")
+
+
+# ---------------------------------------------------------------------------
+# works-entity getmarc cells (round 2: the 9 cells reference esmarc.py:90-120
+# maps with plain getmarc / getnumberofpages — added to spec.py works block)
+# ---------------------------------------------------------------------------
+
+WORKS_GETMARC_CELLS = {
+    "Thesis": ["502..a", "502..b", "502..c", "502..d"],
+    "issn": ["022..a", "022..y", "022..z", "029..a", "490..x", "730..x",
+             "773..x", "776..x", "780..x", "785..x", "800..x", "810..x",
+             "811..x", "830..x"],
+    "isbn": ["020..a", "022..a", "022..z", "776..z", "780..z", "785..z"],
+    "hasPart": "773..g",
+    "isPartOf": ["773..t", "773..s", "773..a"],
+    "pageStart": "773..q",
+    "issueNumber": "773..l",
+    "volumeNumer": "773..v",
+    "alternativeHeadline": ["245..c"],
+    "datePublished": ["130..f", "260..c", "264..c", "362..a"],
+}
+
+
+def test_reference_oracle_works_getmarc_cells(ref):
+    """field_values vs the reference getmarc. A {getmarc: [keys]} cell calls
+    getmarc ONCE with the whole list (processing.py:12-15); getmarc litters
+    (dedups) across keys and uniq-dedups adjacents (marc.py:70-79). Compared
+    under the canon() contract equivalence like the main gate."""
+    import copy
+    import importlib
+
+    from esmarc_spark.marc.records import field_values
+
+    getmarc = importlib.import_module("esmarc.marc").getmarc
+
+    mismatches = []
+    for prop, key in WORKS_GETMARC_CELLS.items():
+        for rid in ALL_IDS:
+            rec = load_fixture_record(rid)
+            ours = canon(field_values(copy.deepcopy(rec), copy.deepcopy(key), "works"))
+            theirs = canon(getmarc(copy.deepcopy(rec), copy.deepcopy(key), "works"))
+            if ours != theirs:
+                mismatches.append((prop, rid, ours, theirs))
+    assert not mismatches, f"{len(mismatches)} cells differ: {mismatches[:5]}"
+
+
+# every dispatchable entity: 079..b code -> entity name
+# (ref lookup_tables/entities.py:1-9; None = the no-079 resources default)
+ENTITY_CODES = [
+    (None, "resources"),
+    ("p", "persons"),
+    ("s", "topics"),
+    ("b", "organizations"),
+    ("g", "geo"),
+    ("u", "works"),
+    ("f", "events"),
+]
+
+# date-family cells run through the reference's dateparser (shimmed to a
+# no-op here) / our deterministic parser — excluded, covered by goldens
+DATE_PROPS = {
+    "dateCreated", "dateOfEstablishment", "dateOfTermination",
+    "startDate", "endDate", "datePublished", "dateOriginalPublished",
+    "birthDate", "deathDate",
+}
+
+
+@pytest.mark.parametrize("code,entity", ENTITY_CODES, ids=[e for _, e in ENTITY_CODES])
+def test_reference_oracle_record_e2e(ref, code, entity):
+    """Full-record parity per entity type: inject the 079..b dispatch code
+    into each fixture record and compare our map_record against the
+    reference's actual process_line (processing.py:29-62) under the canon()
+    contract, excluding only the date family. index="test" on both sides so
+    the isBasedOn + sameAs-isBasedOn plumbing is compared too."""
+    import copy
+
+    from esmarc.processing import process_line
+    from esmarc.esmarc import entities as ref_entities
+
+    from esmarc_spark.mapping.engine import map_record
+
+    mismatches = []
+    for rid in ALL_IDS:
+        rec = load_fixture_record(rid)
+        if code is None:
+            rec.pop("079", None)
+        else:
+            rec["079"] = [{"__": [{"b": code}]}]
+        theirs = process_line(copy.deepcopy(rec), "test", ref_entities)
+        ours = map_record(copy.deepcopy(rec), index="test")
+        if theirs is None and ours is None:
+            continue
+        t_doc = theirs[entity]
+        o_entity, o_doc = ours
+        assert o_entity == entity
+        keys = (set(t_doc) | set(o_doc)) - DATE_PROPS
+        for k in sorted(keys):
+            a, b = canon(o_doc.get(k)), canon(t_doc.get(k))
+            if a != b:
+                mismatches.append((rid, k, a, b))
+    assert not mismatches, f"{len(mismatches)} property cells differ: {mismatches[:6]}"
