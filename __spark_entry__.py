@@ -278,7 +278,16 @@ QUALIFY rank <= 5
         "sim_near_dups": similarity_near_dups_sql,
         "sim_near_dups_bucketed": similarity_near_dups_bucketed_sql,
         "events_asof": asof.PURCHASES_LAST_VIEW_SQL,
-        # marc_fixture_triples: no oracle (nested-JSON mini-language not
-        # ANSI-expressible); media_stats: no oracle (synthetic binary table
-        # exists only Spark-side) -> rows-only checks
+        # marc_fixture_triples: the mapping mini-language itself is not
+        # ANSI-expressible, so the oracle is a VENDORED GOLDEN computed once
+        # and double-gated in pytest (tests/test_golden_triples.py: current
+        # output == golden, and the 7-entity reference-as-oracle e2e parity
+        # suite anchors the mapping itself) — upgrades the driver check
+        # from rows-only to full value-hash
+        "marc_fixture_triples": (
+            "SELECT entity, subj, pred, obj FROM read_json_auto("
+            "'/root/repo/tests/golden/marc_fixture_triples.ldj')"
+        ),
+        # media_stats: no oracle (synthetic binary table exists only
+        # Spark-side) -> rows-only check
     }
