@@ -77,14 +77,25 @@ def _tokens_base(webtext: DataFrame, extra_cols: tuple[str, ...]) -> DataFrame:
     )
 
 
-def _gram_structs(lengths: list[int]) -> F.Column:
-    """Array of (position, n_toks, surface_form) structs — one candidate
-    n-gram per token position per gazetteer length, nulls filtered."""
+def _positions(anchor_tokens: list[str] | None = None) -> F.Column:
+    """1-based candidate start positions over _toks; with ``anchor_tokens``
+    only positions whose token can START a surface form survive (the cheap
+    per-token test that avoids building n-gram strings at every position)."""
     arr = F.col("_toks")
     size = F.size(arr)
-    positions = F.when(size >= 1, F.sequence(F.lit(1), size)).otherwise(
+    pos = F.when(size >= 1, F.sequence(F.lit(1), size)).otherwise(
         F.array().cast("array<int>")
     )
+    if anchor_tokens is not None:
+        pos = F.filter(pos, lambda i: F.element_at(arr, i).isin(*anchor_tokens))
+    return pos
+
+
+def _gram_structs(lengths: list[int], positions: F.Column) -> F.Column:
+    """Array of (position, n_toks, surface_form) structs — one candidate
+    n-gram per start position per gazetteer length, nulls filtered."""
+    arr = F.col("_toks")
+    size = F.size(arr)
 
     def gram_at(i, n: int) -> F.Column:
         gram = F.concat_ws(
@@ -141,37 +152,58 @@ def detect_mentions_ngram(
     gazetteer: DataFrame,
     max_n: int | None = None,
     extra_cols: tuple[str, ...] = (),
+    max_inline_surfaces: int = 4096,
 ) -> DataFrame:
     """JVM-only multi-word gazetteer scan: token n-grams ⋈ broadcast(surfaces).
 
-    The production hot path (input_hint: no Python in the hot path).
-    Batch plan: candidate n-grams for every gazetteer token-length are built
-    at every position with pure array expressions, exploded, and membership
-    is decided by a broadcast hash join against the surface dim — the PLAN
-    carries no gazetteer literals, so plan size and driver memory are
-    independent of gazetteer cardinality (the round-1 version inlined two
-    ``isin`` literal sets; at the 10^5–10^6-surface gazetteers the north
-    star implies, that is a plan-size/driver hazard). Overlap resolution
-    (strict leftmost-longest, see ``_fold_leftmost_longest``) then re-groups
-    per document — a shuffle that carries ONLY matched mentions, never the
-    corpus.
+    The production hot path (input_hint: no Python in the hot path). Two
+    physical strategies, picked by gazetteer size:
 
-    Streaming plan: a non-windowed groupBy is not allowed in append mode, so
-    streaming inputs keep the fold in-array and test membership with an
-    inlined ``isin`` set — acceptable for the bounded gazetteers a streaming
-    job broadcasts anyway; use the batch path for web-scale gazetteers.
+    * inline (≤ ``max_inline_surfaces``, and always for streaming input,
+      where append mode forbids the join path's groupBy): anchor-token
+      ``isin`` prefilter (n-grams built only at positions whose token can
+      START a surface form — no string concat elsewhere), in-array
+      surface-set membership, in-array leftmost-longest fold. Zero extra
+      shuffles; plan literals bounded by the threshold.
+
+    * join (anything larger — the 10^5–10^6-surface gazetteers the north
+      star implies, where inlined literal sets are a plan-size/driver
+      hazard): candidate n-grams for every gazetteer token-length at every
+      position, exploded; membership decided by a broadcast hash join (plan
+      size independent of gazetteer cardinality); the leftmost-longest fold
+      then re-groups per document — a shuffle carrying ONLY matched
+      mentions, never the corpus.
+
+    Both produce identical results (strict regex-finditer overlap
+    semantics, see ``_fold_leftmost_longest``).
 
     position = token index of the first token of the match.
     """
     spark = webtext.sparkSession
     surf_df = gazetteer.select("surface_form").distinct()
-    # only the distinct token-count SET is collected (a handful of ints)
-    lengths = sorted(
-        r[0]
-        for r in surf_df.select(F.size(F.split("surface_form", " ")).alias("n"))
-        .distinct()
-        .collect()
-    )
+    # ONE action probes the gazetteer: up to threshold+1 rows decide the
+    # strategy AND give the inline path its surface set (streaming always
+    # inlines, so it collects everything)
+    if webtext.isStreaming:
+        head = surf_df.collect()
+        use_inline = True
+    else:
+        head = surf_df.head(max_inline_surfaces + 1)
+        use_inline = len(head) <= max_inline_surfaces
+
+    if use_inline:
+        surface_set = sorted(r["surface_form"] for r in head)
+        lengths = sorted({len(sf.split(" ")) for sf in surface_set})
+    else:
+        # only the distinct token-count SET is collected (a handful of ints)
+        lengths = sorted(
+            r[0]
+            for r in surf_df.select(
+                F.size(F.split("surface_form", " ")).alias("n")
+            )
+            .distinct()
+            .collect()
+        )
     if max_n is not None:
         lengths = [n for n in lengths if n <= max_n]
     if not lengths:  # empty gazetteer -> empty mentions, stable schema
@@ -181,12 +213,10 @@ def detect_mentions_ngram(
         return spark.createDataFrame([], schema)
 
     base = _tokens_base(webtext, extra_cols)
-    grams = _gram_structs(lengths)
 
-    if webtext.isStreaming:
-        surface_set = sorted(
-            r["surface_form"] for r in surf_df.collect()
-        )
+    if use_inline:
+        anchor_tokens = sorted({sf.split(" ")[0] for sf in surface_set})
+        grams = _gram_structs(lengths, _positions(anchor_tokens))
         candidates = F.filter(
             grams, lambda g: g.surface_form.isin(*surface_set)
         )
@@ -201,6 +231,7 @@ def detect_mentions_ngram(
             *extra_cols,
         )
 
+    grams = _gram_structs(lengths, _positions())
     candidates = base.select(
         "url", "lang", *extra_cols, F.explode(grams).alias("g")
     ).select(

@@ -99,9 +99,30 @@ def test_ngram_matches_regex_surfaces(spark):
 
 
 def test_ngram_plan_has_no_gazetteer_literals(spark):
-    # the whole point of the join path: gazetteer values never enter the plan
+    # the whole point of the join path (forced via max_inline_surfaces=0):
+    # gazetteer values never enter the plan
     docs = _docs(spark, [("u1", "Zzyzxvalue elsewhere", "en")])
-    out = detect_mentions_ngram(docs, _gaz(spark, ["Zzyzxvalue", "Qqmarker token"]))
+    out = detect_mentions_ngram(
+        docs, _gaz(spark, ["Zzyzxvalue", "Qqmarker token"]), max_inline_surfaces=0
+    )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Zzyzxvalue" not in plan
     assert "Qqmarker" not in plan
+
+
+def test_ngram_inline_and_join_paths_agree(spark):
+    docs = _docs(
+        spark,
+        [
+            ("u1", "Die Deutsche Nationalbibliothek in Frankfurt am Main", "de"),
+            ("u2", "Frankfurt am Main liegt am Main; Frankfurt auch", "de"),
+            ("u3", "nichts hier", "de"),
+        ],
+    )
+    gaz = _gaz(spark, ["Deutsche Nationalbibliothek", "Frankfurt am Main",
+                       "Frankfurt", "Main"])
+    inline = detect_mentions_ngram(docs, gaz)  # 4 surfaces -> inline path
+    join = detect_mentions_ngram(docs, gaz, max_inline_surfaces=0)
+    a = {tuple(r) for r in inline.collect()}
+    b = {tuple(r) for r in join.collect()}
+    assert a == b and a
