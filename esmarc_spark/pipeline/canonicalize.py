@@ -74,20 +74,21 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 2
+    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 1
 ) -> DataFrame:
     """(src, dst) string edges -> (node, component) with component = min uri.
 
     Deterministic, idempotent; converges in O(log n) alternating rounds.
 
-    Action cadence: one eager localCheckpoint every ``checkpoint_every``
-    rounds materializes the round's edge set, and the convergence checksum
-    runs ONLY on those rounds — it then scans already-cached partitions
-    instead of re-executing the round's shuffles as a second full job.
-    Off-rounds run zero actions and at most ``checkpoint_every`` rounds of
-    lineage. Comparing checksums two rounds apart is safe because
-    large-star/small-star converges monotonically (Kiveris et al. §3 —
-    the edge-potential strictly decreases until fixpoint, so no 2-cycles).
+    Action cadence (measured, scripts/bench_cc.py @ 1M edges/16 cores):
+    each star scans its input relation TWICE (the symmetrized/oriented set
+    feeds both the per-node min aggregate and the join), so un-checkpointed
+    lineage recomputes ~2^(2k) subtrees after k lazy rounds — checkpointing
+    every 3rd round measured 82s, every 2nd 16s, EVERY round 7.4s. The
+    eager localCheckpoint materializes the round once, and the convergence
+    checksum then scans cached partitions instead of re-running shuffles.
+    (On a real cluster swap localCheckpoint for a reliable checkpoint dir
+    if executor loss during the iteration must be survivable.)
     """
     e = (
         edges.select("src", "dst")
