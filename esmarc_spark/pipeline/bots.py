@@ -642,3 +642,126 @@ def enrich_wikipedia_categories(
         )
     )
     return _merged(grouped, _wpcat_merge, ["_pages_by_cc"])
+
+
+# ---------------------------------------------------------------------------
+# GeoNames
+# ---------------------------------------------------------------------------
+
+_GEO_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "geo",
+            T.StructType(
+                [
+                    T.StructField("latitude", T.StringType()),
+                    T.StructField("longitude", T.StringType()),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def _gn_merge(doc: dict, candidates_json: str) -> dict | None:
+    """Port of ref geonames.py:47-79 (get_gnid_by_es) with the ES
+    geo_distance query replaced by the joined candidate list.
+
+    Faithful quirks: the already-enriched check tests the geonames URL
+    against each sameAs ELEMENT with `in` — a dict-keys test for node
+    objects, so it only ever skips records whose sameAs carries plain
+    strings (ref :51); `len(records) == 1` reads a list that is never
+    appended to, i.e. always False (ref :58) — both preserved."""
+    if any("http://www.geonames.org" in s for s in doc.get("sameAs")):
+        return None
+    changed = False
+    for record in json.loads(candidates_json):
+        if (
+            record.get("name") in doc.get("preferredName")
+            or doc.get("preferredName") in record.get("name")
+            or False  # ref :58 `len(records) == 1` — records never appended
+            or doc.get("preferredName") in record.get("alternateName")
+        ):
+            new_same_as = {
+                "@id": "https://sws.geonames.org/" + str(record.get("id")) + "/",
+                "publisher": {
+                    "abbr": "geonames",
+                    "preferredName": "GeoNames",
+                    "isBasedOn": {
+                        "@type": "Dataset",
+                        "@id": "https://sws.geonames.org/" + str(record.get("id")) + "/",
+                    },
+                },
+            }
+            doc["sameAs"] = merge_value(doc.get("sameAs"), new_same_as)
+            changed = True
+    return doc if changed else None
+
+
+def enrich_geonames(
+    records: DataFrame, geonames: DataFrame, radius_km: float = 0.1
+) -> DataFrame:
+    """records ⋈ geonames(id, name, alternate_names, lat, lon) within
+    ``radius_km`` — the grid-cell + haversine spatial join from
+    enrichment.spatial_enrich feeding the reference bot's exact merge
+    (name-containment conditions evaluated per candidate, in id order).
+
+    geonames schema: (id string, name string, alternate_names
+    array<string>, lat double, lon double)."""
+    from esmarc_spark.pipeline.enrichment import _cell, _haversine_km
+
+    g = F.from_json(F.col("doc"), _GEO_SCHEMA)["geo"]
+    keyed = (
+        records.withColumn("_lat", g["latitude"].cast("double"))
+        .withColumn("_lon", g["longitude"].cast("double"))
+        .where(F.col("_lat").isNotNull() & F.col("_lon").isNotNull())
+    )
+    cell_deg = radius_km / 111.0
+    gaz = geonames.withColumn(
+        "_cell", _cell(F.col("lat"), F.col("lon"), cell_deg)
+    )
+    lat_band = F.least(F.abs(F.col("_lat")) + F.lit(cell_deg), F.lit(85.0))
+    kx = F.ceil(F.lit(1.0) / F.cos(F.radians(lat_band))).cast("int")
+    shifts = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-1), F.lit(1)),
+            lambda dy: F.transform(
+                F.sequence(-kx, kx),
+                lambda dx: F.struct(dy.alias("dy"), dx.alias("dx")),
+            ),
+        )
+    )
+    probes = (
+        keyed.withColumn("_base", _cell(F.col("_lat"), F.col("_lon"), cell_deg))
+        .withColumn("_s", F.explode(shifts))
+        .withColumn(
+            "_cell",
+            F.struct(
+                (F.col("_base.cy") + F.col("_s.dy")).alias("cy"),
+                (F.col("_base.cx") + F.col("_s.dx")).alias("cx"),
+            ),
+        )
+        .drop("_base", "_s")
+    )
+    near = (
+        probes.join(gaz, "_cell")
+        .where(
+            _haversine_km(F.col("_lat"), F.col("_lon"), F.col("lat"), F.col("lon"))
+            <= radius_km
+        )
+        .dropDuplicates(["record_id", "id"])
+    )
+    grouped = near.groupBy("record_id", "doc").agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("id"),
+                        F.col("name"),
+                        F.col("alternate_names").alias("alternateName"),
+                    )
+                )
+            )
+        ).alias("_cands")
+    )
+    return _merged(grouped, _gn_merge, ["_cands"])

@@ -53,6 +53,9 @@ class _FakeRequests(types.ModuleType):
 @pytest.fixture()
 def fake_requests(monkeypatch):
     _install_shims()
+    # geonames.py additionally imports isiter (es2json semantics: true for
+    # non-string iterables)
+    sys.modules["es2json"].isiter = lambda obj: hasattr(obj, "__iter__") and not isinstance(obj, (str, bytes))
     fake = _FakeRequests()
     monkeypatch.setitem(sys.modules, "requests", fake)
     return fake
@@ -364,3 +367,81 @@ def test_wikipedia_categories_parity(spark, fake_requests):
     )
     ours = _out_docs(enrich_wikipedia_categories(records, pages))
     assert ours == {"r1": theirs}
+
+
+# ---------------------------------------------------------------------------
+# GeoNames
+# ---------------------------------------------------------------------------
+
+GEONAMES_FIXTURE = [
+    # id, name, alternateName, lat, lon  (Dresden Altmarkt ~ 51.0493, 13.7381)
+    ("2935022", "Dresden Altstadt", ["Altstadt"], 51.0495, 13.7383),
+    ("2935023", "Elbflorenz", ["Dresden"], 51.0490, 13.7378),
+    ("2935024", "Leipzig Zentrum", ["Leipzig"], 51.0496, 13.7380),
+    ("2935099", "Radebeul", ["Loessnitz"], 51.10, 13.66),  # ~6km away
+]
+
+
+def _gn_record():
+    return {
+        "@id": "https://data.slub-dresden.de/geo/6",
+        "preferredName": "Dresden",
+        "geo": {"latitude": "51.0493", "longitude": "13.7381"},
+        "sameAs": [
+            {"@id": f"https://d-nb.info/gnd/{GND}", "publisher": {"abbr": "DNB"},
+             "isBasedOn": {"@type": "Dataset", "@id": "http://example.org/src/1"}}
+        ],
+    }
+
+
+def test_geonames_parity(spark, fake_requests, monkeypatch):
+    import math
+
+    # the reference imports the elasticsearch package (absent) — shim it
+    es_mod = types.ModuleType("elasticsearch")
+    es_mod.exceptions = types.SimpleNamespace(RequestError=RuntimeError)
+    monkeypatch.setitem(sys.modules, "elasticsearch", es_mod)
+    ref = _load_ref("geonames", fake_requests)
+
+    def hav_km(lat1, lon1, lat2, lon2):
+        la1, la2 = math.radians(lat1), math.radians(lat2)
+        dlat, dlon = la2 - la1, math.radians(lon2 - lon1)
+        h = math.sin(dlat / 2) ** 2 + math.cos(la1) * math.cos(la2) * math.sin(dlon / 2) ** 2
+        return 2 * 6371.0088 * math.asin(math.sqrt(h))
+
+    def fake_esgenerator(headless, host, port, index, type, body):
+        loc = body["query"]["bool"]["filter"]["geo_distance"]["location"]
+        for gid, name, alt, lat, lon in sorted(GEONAMES_FIXTURE):
+            if hav_km(loc["lat"], loc["lon"], lat, lon) <= 0.1:
+                yield {"id": gid, "name": name, "alternateName": alt}
+
+    ref.esgenerator = fake_esgenerator
+    theirs = ref.get_gnid_by_es(_gn_record(), "h", 9200, "geonames", "record")
+    assert theirs is not None
+    # sanity: containment + alternateName matched, non-matching name didn't
+    gn_ids = [s["@id"] for s in theirs["sameAs"] if "geonames" in s["@id"]]
+    assert gn_ids == ["https://sws.geonames.org/2935022/",
+                      "https://sws.geonames.org/2935023/"]
+
+    from esmarc_spark.pipeline.bots import enrich_geonames
+
+    records = _docs_df(spark, {"r1": _gn_record()})
+    geonames = spark.createDataFrame(
+        GEONAMES_FIXTURE,
+        "id string, name string, alternate_names array<string>, lat double, lon double",
+    )
+    ours = _out_docs(enrich_geonames(records, geonames))
+    assert ours == {"r1": theirs}
+
+
+def test_geonames_no_candidates_drops_record(spark):
+    from esmarc_spark.pipeline.bots import enrich_geonames
+
+    rec = _gn_record()
+    rec["geo"] = {"latitude": "10.0", "longitude": "10.0"}  # nothing nearby
+    records = _docs_df(spark, {"r1": rec})
+    geonames = spark.createDataFrame(
+        GEONAMES_FIXTURE,
+        "id string, name string, alternate_names array<string>, lat double, lon double",
+    )
+    assert enrich_geonames(records, geonames).count() == 0

@@ -83,3 +83,21 @@ def test_rewrite_through_canonical(spark):
     )
     out = {(r.id, r.uri) for r in rewrite_through_canonical(df, mapping, "uri").collect()}
     assert out == {("r1", "http://a"), ("r2", "http://zzz")}
+
+
+def test_rewrite_through_canonical_no_forced_broadcast(spark):
+    """Scale guard (VERDICT r1 #3): the uri->canonical dim grows with the
+    number of linked entities, so the plan must not carry a broadcast hint —
+    AQE decides at runtime from actual sizes."""
+    from esmarc_spark.pipeline.canonicalize import rewrite_through_canonical
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "u string, v int")
+    mapping = spark.createDataFrame(
+        [("a", "A")], "uri string, canonical_uri string"
+    )
+    out = rewrite_through_canonical(df, mapping, "u")
+    logical = out._jdf.queryExecution().logical().toString()
+    assert "hint" not in logical.lower()
+    # values still correct: mapped uri rewritten, unmapped passes through
+    rows = {(r.u, r.v) for r in out.collect()}
+    assert rows == {("A", 1), ("b", 2)}
