@@ -166,6 +166,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return media_metadata_stats(synth_media(spark, n=300))
 
+    def media_features(spark, sf):
+        # REAL decode (PPM/WAV/PPM-stream, stdlib+numpy codecs) -> per-
+        # modality features; no ANSI oracle (DuckDB cannot decode WAV) ->
+        # rows-only check, decoder correctness is pytest-gated (roundtrips)
+        from esmarc_spark.ops.multimodal import decode_features, synth_media_real
+
+        _ensure_shipped(spark)
+        return decode_features(synth_media_real(spark, n=120)).drop("feat")
+
     def marc_fixture_triples(spark, sf):
         # non-SQL-expressible (nested JSON mini-language); rows-only check
         import json
@@ -202,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dups_bucketed": sim_near_dups_bucketed,
         "events_asof": events_asof,
         "media_stats": media_stats,
+        "media_features": media_features,
         "marc_fixture_triples": marc_fixture_triples,
     }
 
@@ -287,6 +297,16 @@ QUALIFY rank <= 5
         "marc_fixture_triples": (
             "SELECT entity, subj, pred, obj FROM read_json_auto("
             "'/root/repo/tests/golden/marc_fixture_triples.ldj')"
+        ),
+        # media_features: REAL PPM/WAV/PPM-stream decode; vendored golden
+        # (authority: codec round-trip + determinism pytests) so the driver
+        # check is a full value-hash instead of rows-only
+        "media_features": (
+            "SELECT media_id, modality, cast(width AS int) AS width, "
+            "cast(height AS int) AS height, cast(n_frames AS int) AS n_frames, "
+            "cast(sample_rate AS int) AS sample_rate, "
+            "cast(duration_ms AS int) AS duration_ms "
+            "FROM read_json_auto('/root/repo/tests/golden/media_features.ldj')"
         ),
         # media_stats: no oracle (synthetic binary table exists only
         # Spark-side) -> rows-only check

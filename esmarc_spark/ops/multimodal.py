@@ -1,10 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested; the actual media decoding is STUBBED
-(``decode_image_stub``) because no image/audio libraries exist in this
-container. Swapping the stub for Pillow/torchaudio/ffmpeg changes one
-function body, not the plan.
+signatures — is real and tested. Round 2 adds REAL codecs
+(ops.media_codecs: P6 PPM images, WAV PCM16 audio, PPM-stream video —
+stdlib+numpy only) behind ``synth_media_real`` / ``decode_features`` /
+``resize_images`` / ``sample_video_frames``; the round-1 header-stub path
+(``decode_image_stub``) is kept for the driver's synthetic-header table.
+Exotic formats (JPEG/MP4/Opus) would swap the codec bodies for
+Pillow/ffmpeg with the identical plan.
 
 Design points for 100 TB of media:
   * media rows are (id, modality, media binary, meta struct); the binary
@@ -170,3 +173,200 @@ def media_metadata_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec pipeline (round 2): PPM images, WAV audio, PPM-stream video —
+# decodable with stdlib+numpy alone (ops.media_codecs); the round-1 stub
+# path above is kept for the synthetic-header table the driver query uses.
+# ---------------------------------------------------------------------------
+
+REAL_FEATURES_SCHEMA = (
+    "media_id long, modality string, width int, height int, n_frames int, "
+    "sample_rate int, duration_ms int, feat array<float>"
+)
+
+RESIZED_SCHEMA = "media_id long, media binary, width int, height int"
+
+
+def synth_media_real(spark: SparkSession, n: int = 60, seed: int = 42) -> DataFrame:
+    """Deterministic REAL media table: P6 images (gradient keyed by id),
+    WAV PCM16 sine tones, PPM-stream videos. Generated in Arrow batches
+    from spark.range — no driver-side loop."""
+    import numpy as np
+
+    from esmarc_spark.ops import media_codecs as C
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "modality": [], "media": []}
+            for media_id in pdf["id"]:
+                i = int(media_id)
+                rng = np.random.RandomState(seed + i)
+                kind = i % 3
+                if kind == 0:
+                    w, h = 16 + i % 48, 16 + (i * 7) % 32
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [(xx * (i + 1)) % 256, (yy * 3) % 256, ((xx + yy) * 2) % 256],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    payload, modality = C.encode_ppm(px), "image"
+                elif kind == 1:
+                    rate = 8000
+                    t = np.arange(rate // 4 + (i % 1000))  # ~250ms+
+                    freq = 220 + (i % 20) * 55
+                    samples = (
+                        np.sin(2 * np.pi * freq * t / rate) * 12000
+                        + rng.randn(len(t)) * 100
+                    ).astype(np.int16)
+                    payload, modality = C.encode_wav(samples, rate), "audio"
+                else:
+                    w, h = 12 + i % 20, 10 + i % 14
+                    frames = []
+                    for f in range(2 + i % 5):
+                        yy, xx = np.mgrid[0:h, 0:w]
+                        frames.append(
+                            np.stack(
+                                [(xx + f * 5) % 256, (yy + f * 11) % 256,
+                                 np.full((h, w), (i + f) % 256)],
+                                axis=-1,
+                            ).astype(np.uint8)
+                        )
+                    payload, modality = C.encode_ppm_stream(frames), "video"
+                rows["media_id"].append(i)
+                rows["modality"].append(modality)
+                rows["media"].append(payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "modality": pd.Series(rows["modality"], dtype="object"),
+                    "media": pd.Series(rows["media"], dtype="object"),
+                }
+            )
+
+    return spark.range(n).mapInPandas(
+        gen, schema="media_id long, modality string, media binary"
+    )
+
+
+def decode_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """REAL decode + feature extraction per modality (Arrow batches):
+    image -> dims + per-channel mean/std; audio -> rate/duration/RMS/peak/
+    zero-crossing-rate; video -> frame count + first/last frame deltas."""
+    import numpy as np
+
+    from esmarc_spark.ops import media_codecs as C
+
+    def feats(modality: str, payload: bytes):
+        if modality == "image":
+            px = C.decode_ppm(payload)
+            h, w, _ = px.shape
+            v = [px[..., c].mean() / 255.0 for c in range(3)] + [
+                px[..., c].std() / 255.0 for c in range(3)
+            ]
+            return w, h, 1, 0, 0, v
+        if modality == "audio":
+            rate, s = C.decode_wav(payload)
+            dur_ms = int(len(s) * 1000 / rate)
+            x = s.astype(np.float64) / 32768.0
+            rms = float(np.sqrt((x**2).mean())) if len(x) else 0.0
+            peak = float(np.abs(x).max()) if len(x) else 0.0
+            zcr = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
+            return 0, 0, 0, rate, dur_ms, [rms, peak, zcr]
+        frames = C.decode_ppm_stream(payload)
+        h, w, _ = frames[0].shape
+        delta = (
+            float(np.abs(frames[-1].astype(int) - frames[0].astype(int)).mean())
+            / 255.0
+            if len(frames) > 1
+            else 0.0
+        )
+        return w, h, len(frames), 0, 0, [frames[0].mean() / 255.0, delta]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "modality", "width", "height", "n_frames",
+                    "sample_rate", "duration_ms", "feat")}
+            for media_id, modality, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["media"]
+            ):
+                w, h, nf, rate, dur, v = feats(modality, bytes(payload))
+                vec = (v + [0.0] * feat_dim)[:feat_dim]
+                out["media_id"].append(media_id)
+                out["modality"].append(modality)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append(dur)
+                out["feat"].append([float(x) for x in vec])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "modality": pd.Series(out["modality"], dtype="object"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "duration_ms": pd.Series(out["duration_ms"], dtype="int32"),
+                    "feat": pd.Series(out["feat"], dtype="object"),
+                }
+            )
+
+    return media.select("media_id", "modality", "media").mapInPandas(
+        run, schema=REAL_FEATURES_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """REAL nearest-neighbor resize of the image rows; re-encoded as P6."""
+    from esmarc_spark.ops import media_codecs as C
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["media"]):
+                px = C.resize_nearest(C.decode_ppm(bytes(payload)), out_w, out_h)
+                ids.append(media_id)
+                blobs.append(C.encode_ppm(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media": pd.Series(blobs, dtype="object"),
+                    "width": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "height": pd.Series([out_h] * len(ids), dtype="int32"),
+                }
+            )
+
+    return media.where(F.col("modality") == "image").select(
+        "media_id", "media"
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame sampling: decode the PPM stream, keep every ``every``-th
+    frame, emit one P6-encoded row per kept frame."""
+    from esmarc_spark.ops import media_codecs as C
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["media"]):
+                for i, frame in enumerate(C.decode_ppm_stream(bytes(payload))):
+                    if i % every == 0:
+                        ids.append(media_id)
+                        idxs.append(i)
+                        blobs.append(C.encode_ppm(frame))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(blobs, dtype="object"),
+                }
+            )
+
+    return media.where(F.col("modality") == "video").select(
+        "media_id", "media"
+    ).mapInPandas(run, schema=FRAMES_SCHEMA)

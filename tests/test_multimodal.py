@@ -65,3 +65,76 @@ def test_metadata_stats_prunes_binary(media, spark, tmp_path):
     )
     stats = {r.modality: r.n for r in media_metadata_stats(on_disk).collect()}
     assert set(stats) == {"image", "audio", "video"}
+
+
+# ---------------------------------------------------------------------------
+# round 2: REAL codecs (PPM / WAV / PPM-stream) — decode is no longer a stub
+# ---------------------------------------------------------------------------
+
+
+def test_codec_roundtrips():
+    import numpy as np
+
+    from esmarc_spark.ops import media_codecs as C
+
+    px = ((np.arange(9 * 7 * 3).reshape(7, 9, 3) * 3) % 256).astype(np.uint8)
+    assert (C.decode_ppm(C.encode_ppm(px)) == px).all()
+
+    samples = (np.sin(np.arange(2000) / 7.0) * 10000).astype(np.int16)
+    rate, back = C.decode_wav(C.encode_wav(samples, 8000))
+    assert rate == 8000 and (back == samples).all()
+
+    frames = [px, px[::-1].copy(), (px // 2).astype(np.uint8)]
+    out = C.decode_ppm_stream(C.encode_ppm_stream(frames))
+    assert len(out) == 3 and all((a == b).all() for a, b in zip(out, frames))
+
+    small = C.resize_nearest(px, 4, 3)
+    assert small.shape == (3, 4, 3)
+    # corner pixels preserved by nearest-neighbor with floor mapping
+    assert (small[0, 0] == px[0, 0]).all()
+
+
+def test_real_decode_features(spark):
+    from esmarc_spark.ops.multimodal import decode_features, synth_media_real
+
+    media = synth_media_real(spark, n=30).cache()
+    feats = decode_features(media).collect()
+    assert len(feats) == 30
+    by_mod = {}
+    for r in feats:
+        by_mod.setdefault(r.modality, []).append(r)
+    assert set(by_mod) == {"image", "audio", "video"}
+    for r in by_mod["image"]:
+        assert r.width >= 16 and r.height >= 16 and r.n_frames == 1
+        assert 0.0 <= r.feat[0] <= 1.0  # channel mean normalized
+    for r in by_mod["audio"]:
+        assert r.sample_rate == 8000 and r.duration_ms >= 250
+        assert r.feat[0] > 0.1  # sine RMS well above silence
+        assert 0 < r.feat[2] < 1  # zero-crossing rate
+    for r in by_mod["video"]:
+        assert r.n_frames >= 2 and r.width >= 12
+    # determinism: same seed -> identical features
+    again = decode_features(synth_media_real(spark, n=30)).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_real_resize_and_frames(spark):
+    from esmarc_spark.ops import media_codecs as C
+    from esmarc_spark.ops.multimodal import (
+        resize_images,
+        sample_video_frames,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, n=30).cache()
+    resized = resize_images(media, out_w=8, out_h=6).collect()
+    assert resized and all(r.width == 8 and r.height == 6 for r in resized)
+    for r in resized:
+        px = C.decode_ppm(bytes(r.media))
+        assert px.shape == (6, 8, 3)
+
+    frames = sample_video_frames(media, every=2).collect()
+    assert frames
+    for r in frames:
+        assert r.frame_idx % 2 == 0
+        assert C.decode_ppm(bytes(r.frame)).ndim == 3
