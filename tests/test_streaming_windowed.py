@@ -38,3 +38,100 @@ def test_windowed_mention_counts(spark, tmp_path):
         by_entity[r.canonical_url] = by_entity.get(r.canonical_url, 0) + r.n_mentions
     top = max(by_entity, key=by_entity.get)
     assert top.endswith("4011882-4")  # Germany's GND uri
+
+
+# ---------------------------------------------------------------------------
+# round 2: custom stateful operator (applyInPandasWithState sessionization)
+# ---------------------------------------------------------------------------
+
+
+def _batch_sessions(spark, events_path):
+    from esmarc_spark.ops.relational import events_sessionize
+
+    df = spark.read.parquet(events_path)
+    return {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start)
+        for r in events_sessionize(df, gap_minutes=30).collect()
+    }
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """Single catch-up run over all files must reproduce the batch
+    sessionizer exactly (same gap semantics)."""
+    import datetime as dt
+
+    from esmarc_spark.pipeline.streaming import run_sessionize_available_now
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(5):
+        t = base + dt.timedelta(minutes=user)
+        for s in range(3):  # 3 sessions per user
+            for e in range(4):  # 4 events each, 5 min apart
+                rows.append((user, eid, t))
+                eid += 1
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(minutes=45)  # gap > 30 -> new session
+    in_dir = str(tmp_path / "events")
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    ).repartition(1).write.parquet(in_dir)
+
+    got = run_sessionize_available_now(
+        spark, in_dir, str(tmp_path / "ckpt"), gap_minutes=30
+    )
+    want = {
+        (u, s): (n, str(start))
+        for (u, s), (n, start) in _batch_sessions(spark, in_dir).items()
+    }
+    got_cmp = {
+        (u, s): (n, start.strftime("%Y-%m-%d %H:%M:%S"))
+        for (u, s), (n, start) in got.items()
+    }
+    assert got_cmp == want
+    assert len(got) == 15  # 5 users x 3 sessions
+
+
+def test_stateful_sessionize_state_spans_batches(spark, tmp_path):
+    """A session split across micro-batches must stay ONE session: state
+    (last_ts, open session) carries over; the second batch re-emits the
+    grown session row."""
+    import datetime as dt
+
+    from esmarc_spark.pipeline.streaming import run_sessionize_available_now
+
+    base = dt.datetime(2024, 3, 1)
+    in_dir = str(tmp_path / "events")
+    # file A: two events at t0, t0+5min; file B: t0+10min (same session)
+    # plus t0+2h (new session). Lexicographic file order = arrival order.
+    a = [(1, 0, base), (1, 1, base + dt.timedelta(minutes=5))]
+    b = [
+        (1, 2, base + dt.timedelta(minutes=10)),
+        (1, 3, base + dt.timedelta(hours=2)),
+    ]
+    schema = "user_id long, event_id long, ts timestamp"
+    spark.createDataFrame(a, schema).repartition(1).write.parquet(in_dir)
+    import glob as g
+    import os
+
+    part = g.glob(f"{in_dir}/part-*.parquet")[0]
+    os.rename(part, f"{in_dir}/a-00.parquet")
+    spark.createDataFrame(b, schema).repartition(1).write.mode("append").parquet(in_dir)
+    part = [p for p in g.glob(f"{in_dir}/part-*.parquet")]
+    os.rename(part[0], f"{in_dir}/b-00.parquet")
+
+    got = run_sessionize_available_now(
+        spark, in_dir, str(tmp_path / "ckpt"),
+        gap_minutes=30, max_files_per_trigger=1,
+    )
+    assert got[(1, 1)][0] == 3  # one session of 3 events across batches
+    assert got[(1, 2)][0] == 1
+    assert len(got) == 2
+
+    # exactly-once: re-running the same checkpoint emits nothing new
+    again = run_sessionize_available_now(
+        spark, in_dir, str(tmp_path / "ckpt"),
+        gap_minutes=30, max_files_per_trigger=1,
+    )
+    assert again == {}
