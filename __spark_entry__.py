@@ -234,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
     text_stats_sql = f"""
 SELECT doc_id,
        cast({text.TOKEN_COUNT_SQL} AS bigint) AS n_tokens,
+       cast({text.BPE_TOKEN_COUNT_SQL} AS bigint) AS n_bpe_tokens,
        {text.DISTINCT_TOKEN_RATIO_SQL} AS distinct_ratio,
        {text.MEAN_TOKEN_LEN_SQL} AS mean_token_len,
        {text.stopword_ratio_sql()} AS stopword_ratio,

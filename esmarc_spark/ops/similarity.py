@@ -317,3 +317,134 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-coarse-quantizer scale path, the
+# companion to the hyperplane-LSH variant above (task brief: "an IVF or
+# LSH-bucketed variant as the scale path"; this engine ships both).
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 2
+) -> DataFrame:
+    """Coarse quantizer (centroid_id, centroid array<double>) via Lloyd
+    iterations expressed as DataFrame ops:
+
+    * init: the ``n_centroids`` lowest vec_ids (deterministic);
+    * assign: vectors x broadcast(centroids) -> max_by cosine — the k-way
+      fan-out is bounded by n_centroids, the shuffle is the groupBy(vec_id)
+      partial max;
+    * update: posexplode(embedding) -> avg per (centroid, dim) ->
+      re-assembled arrays (sort_array of (pos, mean) structs).
+
+    The codebook is small by construction (n_centroids x dim doubles) —
+    broadcasting it is the IVF contract, not a scale hazard.
+    """
+    emb = embeddings.select("vec_id", "embedding")
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.row_number()
+            .over(__import__("pyspark").sql.window.Window.orderBy("vec_id"))
+            .alias("centroid_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = assign_ivf(emb, centroids)
+        centroids = (
+            assigned.select(
+                "centroid_id", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+        centroids = centroids.localCheckpoint(eager=True)
+    return centroids
+
+
+def assign_ivf(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, centroid_id): nearest centroid by cosine."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        (
+            _dot(F.col("embedding"), F.col("centroid"))
+            / (_norm(F.col("embedding")) * _norm(F.col("centroid")))
+        ).alias("_cos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(F.struct("centroid_id", "embedding"), F.col("_cos")).alias("_best")
+    ).select(
+        "vec_id",
+        F.col("_best.embedding").alias("embedding"),
+        F.col("_best.centroid_id").alias("centroid_id"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k: each query scores only vectors whose cell is among
+    its ``nprobe`` nearest centroids. Recall/cost dial: nprobe/n_centroids.
+    Join is an equi-join on centroid_id — bounded fan-out, no cross product.
+    """
+    from pyspark.sql.window import Window
+
+    centroids = ivf_build(embeddings, n_centroids, iters)
+    cells = assign_ivf(embeddings, centroids)
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_scored = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_emb",
+        "centroid_id",
+        (
+            _dot(F.col("q_emb"), F.col("centroid"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("centroid")))
+        ).alias("_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q_scored.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+
+    joined = probes.join(cells, "centroid_id").where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    scored = joined.select(
+        "query_id", "vec_id", F.round(cos, ROUND_N).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

@@ -38,6 +38,26 @@ def token_count(text: Column | str = "text") -> Column:
 TOKEN_COUNT_SQL = "len(string_split(text, ' '))"
 
 
+# BPE-ish pretokenizer regex (GPT-2 family, engine-portable subset):
+# contraction suffixes, space-glued letter runs, digit runs, punctuation
+# runs, whitespace runs. Same RE2/Java-compatible pattern on both engines.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column | str = "text") -> Column:
+    """Token count under a BPE-style pretokenizer regex — a much better
+    LLM-cost proxy than whitespace splitting (counts punctuation and
+    contraction pieces the way GPT-2-family tokenizers split them)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_PATTERN)).cast("long")
+
+
+BPE_TOKEN_COUNT_SQL = (
+    "len(regexp_extract_all(text,"
+    " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))"
+)
+
+
 def distinct_token_ratio(text: Column | str = "text") -> Column:
     toks = tokens_col(text)
     return F.round(
@@ -149,6 +169,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
+        bpe_token_count().alias("n_bpe_tokens"),
         F.round(F.size(F.array_distinct(toks)).cast("double") / n, ROUND_N).alias(
             "distinct_ratio"
         ),
@@ -173,6 +194,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
     return staged.select(
         "doc_id",
         "n_tokens",
+        "n_bpe_tokens",
         "distinct_ratio",
         "mean_token_len",
         "stopword_ratio",

@@ -163,3 +163,32 @@ def test_embedding_near_dups_bucketed_recall(spark):
         assert pair in brute and abs(brute[pair] - cos) < 1e-9
     recall = len(set(lsh) & set(brute)) / len(brute)
     assert recall >= 0.9, f"recall {recall:.3f} of {len(brute)} true pairs"
+
+
+def test_ivf_topk_recall(spark):
+    """IVF coarse-quantizer ANN: on clustered vectors, probing nprobe of
+    n_centroids cells must recover >=0.9 of the exact top-k, and every hit
+    carries the exact cosine."""
+    from esmarc_spark.ops.similarity import ivf_topk
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(8, 16) * 4
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(25):
+            v = centers[c] + rng.randn(16) * 0.2
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id").isin(0, 30, 77, 150))
+    exact = {(r.query_id, r.vec_id): r.cosine for r in cosine_topk(df, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in ivf_topk(df, q, k=5, n_centroids=8, nprobe=3, iters=2).collect()
+    }
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.3f}"
+    for key in hits:
+        assert abs(exact[key] - approx[key]) < 1e-9
