@@ -175,6 +175,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ensure_shipped(spark)
         return decode_features(synth_media_real(spark, n=120)).drop("feat")
 
+    def enrich_entityfacts_docs(spark, sf):
+        # enrichment-bot surface in the driver contract: deterministic
+        # synthetic JSON-LD records + EntityFacts authority table built
+        # entirely from spark.range expressions; the bot joins on the GND
+        # id and litter-merges provider sameAs entries (exact reference
+        # parity is pytest-gated in tests/test_bots.py). Oracle: vendored
+        # golden (scripts/regen_golden_entityfacts.py).
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.pipeline.bots import enrich_entityfacts
+
+        _ensure_shipped(spark)
+        n = 200
+        base = spark.range(n)
+        gnd = F.concat(F.lit("1185"), F.lpad(F.col("id").cast("string"), 5, "0"))
+        rec_doc = F.to_json(
+            F.struct(
+                F.concat(F.lit("https://data.slub-dresden.de/persons/"), F.col("id")).alias("@id"),
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("https://d-nb.info/gnd/"), gnd).alias("@id"),
+                        F.struct(F.lit("DNB").alias("abbr")).alias("publisher"),
+                        F.struct(
+                            F.lit("Dataset").alias("@type"),
+                            F.concat(F.lit("http://example.org/src/"), F.col("id")).alias("@id"),
+                        ).alias("isBasedOn"),
+                    )
+                ).alias("sameAs"),
+            )
+        )
+        records = base.select(
+            F.col("id").cast("string").alias("record_id"), rec_doc.alias("doc")
+        )
+        # EF payloads for 3 of 4 ids: VIAF always; WIKIDATA for id%3==0;
+        # an unknown provider for id%5==0 (exercises the eprint-and-keep path)
+        providers = F.filter(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("http://viaf.org/viaf/"), F.col("id") * 7).alias("@id"),
+                    F.struct(
+                        F.lit("VIAF").alias("abbr"),
+                        F.lit("Virtual International Authority File (VIAF)").alias("name"),
+                    ).alias("collection"),
+                ),
+                F.when(
+                    F.col("id") % 3 == 0,
+                    F.struct(
+                        F.concat(F.lit("http://www.wikidata.org/entity/Q"), F.col("id") * 13).alias("@id"),
+                        F.struct(
+                            F.lit("WIKIDATA").alias("abbr"), F.lit("Wikidata").alias("name")
+                        ).alias("collection"),
+                    ),
+                ),
+                F.when(
+                    F.col("id") % 5 == 0,
+                    F.struct(
+                        F.concat(F.lit("http://unknown.example.org/"), F.col("id")).alias("@id"),
+                        F.struct(
+                            F.lit("XNOPE").alias("abbr"), F.lit("Unknown provider").alias("name")
+                        ).alias("collection"),
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        ef = base.where(F.col("id") % 4 != 3).select(
+            gnd.alias("gnd_id"), F.to_json(providers).alias("ef_same_as")
+        )
+        return enrich_entityfacts(records, ef)
+
     def marc_fixture_triples(spark, sf):
         # non-SQL-expressible (nested JSON mini-language); rows-only check
         import json
@@ -212,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": events_asof,
         "media_stats": media_stats,
         "media_features": media_features,
+        "enrich_entityfacts_docs": enrich_entityfacts_docs,
         "marc_fixture_triples": marc_fixture_triples,
     }
 
@@ -308,6 +379,14 @@ QUALIFY rank <= 5
             "cast(sample_rate AS int) AS sample_rate, "
             "cast(duration_ms AS int) AS duration_ms "
             "FROM read_json_auto('/root/repo/tests/golden/media_features.ldj')"
+        ),
+        # enrich_entityfacts_docs: vendored golden (authority: exact
+        # reference-bot parity suite tests/test_bots.py)
+        "enrich_entityfacts_docs": (
+            "SELECT cast(record_id AS varchar) AS record_id, doc "
+            "FROM read_json_auto("
+            "'/root/repo/tests/golden/enrich_entityfacts_docs.ldj', "
+            "format='newline_delimited', columns={record_id: 'VARCHAR', doc: 'VARCHAR'})"
         ),
         # media_stats: no oracle (synthetic binary table exists only
         # Spark-side) -> rows-only check
