@@ -245,6 +245,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return enrich_entityfacts(records, ef)
 
+    def enrich_sachgruppen_docs(spark, sf):
+        # the chained-join enrichment in the driver surface: records ⋈
+        # gnd_records ⋈ (nested fieldOfStudy→DDC) ⋈ gnd_subjects, with the
+        # about-dedup quirks. Synthetic deterministic tables from
+        # spark.range; exact bot parity is pytest-gated (tests/test_bots.py)
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.pipeline.bots import enrich_sachgruppen
+
+        _ensure_shipped(spark)
+        n = 150
+        base = spark.range(n)
+        gnd = F.concat(F.lit("104"), F.lpad(F.col("id").cast("string"), 5, "0"))
+        act_uri = F.concat(
+            F.lit("https://d-nb.info/gnd/act"), (F.col("id") % 10).cast("string")
+        )
+        rec_doc = F.to_json(
+            F.struct(
+                F.concat(F.lit("https://data.slub-dresden.de/topics/"), F.col("id")).alias("@id"),
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("https://d-nb.info/gnd/"), gnd).alias("@id"),
+                        F.struct(F.lit("DNB").alias("abbr")).alias("publisher"),
+                        F.struct(
+                            F.lit("Dataset").alias("@type"),
+                            F.concat(F.lit("http://example.org/src/"), F.col("id")).alias("@id"),
+                        ).alias("isBasedOn"),
+                    )
+                ).alias("sameAs"),
+                # every 7th record already carries an about that collides
+                # with its fieldOfActivity value -> exercises the dedup path
+                F.when(
+                    F.col("id") % 7 == 0,
+                    F.struct(act_uri.alias("@id"), F.lit("vorhanden").alias("name")),
+                ).alias("about"),
+            )
+        )
+        records = base.select(
+            F.col("id").cast("string").alias("record_id"), rec_doc.alias("doc")
+        )
+
+        subj_id = F.concat(
+            F.lit("https://d-nb.info/standards/vocab/gnd/gnd-sc#"),
+            (F.col("id") % 30).cast("string"), F.lit(".1"),
+        )
+        fos_key = F.concat(F.lit("fos"), (F.col("id") % 20).cast("string"))
+        src = F.to_json(
+            F.struct(
+                F.when(
+                    F.col("id") % 2 == 0,
+                    F.array(F.struct(subj_id.alias("id"))),
+                ).alias("gndSubjectCategory"),
+                F.when(
+                    F.col("id") % 3 != 1,
+                    F.array(
+                        F.struct(
+                            F.concat(F.lit("https://d-nb.info/gnd/"), fos_key).alias("id")
+                        )
+                    ),
+                ).alias("fieldOfStudy"),
+                F.array(act_uri).alias("fieldOfActivity"),
+            )
+        )
+        # every 11th record has no GND record at all -> no enrichment row
+        gnd_main = base.where(F.col("id") % 11 != 0).select(
+            gnd.alias("gnd_id"), src.alias("src")
+        )
+        fos = spark.range(20).select(
+            F.concat(F.lit("fos"), F.col("id").cast("string")).alias("gnd_id"),
+            F.to_json(
+                F.struct(
+                    F.array(
+                        F.struct(
+                            F.concat(
+                                F.lit("http://dewey.info/class/"),
+                                (600 + F.col("id")).cast("string"),
+                                F.lit("/e23/"),
+                            ).alias("id")
+                        )
+                    ).alias("relatedDdcWithDegreeOfDeterminacy3"),
+                    F.concat(F.lit("Fachgebiet "), F.col("id").cast("string")).alias(
+                        "preferredNameForTheSubjectHeading"
+                    ),
+                )
+            ).alias("src"),
+        )
+        gnd_records = gnd_main.unionByName(fos)
+        gnd_subjects = spark.range(30).select(
+            F.concat(
+                F.lit("https://d-nb.info/standards/vocab/gnd/gnd-sc#"),
+                F.col("id").cast("string"), F.lit(".1"),
+            ).alias("subject_id"),
+            F.concat(F.lit("Sachgruppe "), F.col("id").cast("string")).alias("pref_label"),
+        )
+        return enrich_sachgruppen(records, gnd_records, gnd_subjects)
+
     def marc_fixture_triples(spark, sf):
         # non-SQL-expressible (nested JSON mini-language); rows-only check
         import json
@@ -283,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": media_stats,
         "media_features": media_features,
         "enrich_entityfacts_docs": enrich_entityfacts_docs,
+        "enrich_sachgruppen_docs": enrich_sachgruppen_docs,
         "marc_fixture_triples": marc_fixture_triples,
     }
 
@@ -386,6 +483,12 @@ QUALIFY rank <= 5
             "SELECT cast(record_id AS varchar) AS record_id, doc "
             "FROM read_json_auto("
             "'/root/repo/tests/golden/enrich_entityfacts_docs.ldj', "
+            "format='newline_delimited', columns={record_id: 'VARCHAR', doc: 'VARCHAR'})"
+        ),
+        "enrich_sachgruppen_docs": (
+            "SELECT cast(record_id AS varchar) AS record_id, doc "
+            "FROM read_json_auto("
+            "'/root/repo/tests/golden/enrich_sachgruppen_docs.ldj', "
             "format='newline_delimited', columns={record_id: 'VARCHAR', doc: 'VARCHAR'})"
         ),
         # media_stats: no oracle (synthetic binary table exists only
