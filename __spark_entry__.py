@@ -175,6 +175,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ensure_shipped(spark)
         return decode_features(synth_media_real(spark, n=120)).drop("feat")
 
+    def curate_docs(spark, sf):
+        # the composed training-data curation pipeline (quality gate ->
+        # exact dedup -> LSH+Jaccard near-dup removal) verified as ONE
+        # query against the equivalent ANSI composition
+        from esmarc_spark.ops.curate import curate
+
+        return curate(_t(spark, sf, "documents"))
+
     def enrich_entityfacts_docs(spark, sf):
         # enrichment-bot surface in the driver contract: deterministic
         # synthetic JSON-LD records + EntityFacts authority table built
@@ -378,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": events_asof,
         "media_stats": media_stats,
         "media_features": media_features,
+        "curate_docs": curate_docs,
         "enrich_entityfacts_docs": enrich_entityfacts_docs,
         "enrich_sachgruppen_docs": enrich_sachgruppen_docs,
         "marc_fixture_triples": marc_fixture_triples,
@@ -457,6 +466,9 @@ QUALIFY rank <= 5
         "sim_near_dups": similarity_near_dups_sql,
         "sim_near_dups_bucketed": similarity_near_dups_bucketed_sql,
         "events_asof": asof.PURCHASES_LAST_VIEW_SQL,
+        "curate_docs": __import__(
+            "esmarc_spark.ops.curate", fromlist=["curate_sql"]
+        ).curate_sql(),
         # marc_fixture_triples: the mapping mini-language itself is not
         # ANSI-expressible, so the oracle is a VENDORED GOLDEN computed once
         # and double-gated in pytest (tests/test_golden_triples.py: current

@@ -192,3 +192,26 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.9, f"IVF recall {recall:.3f}"
     for key in hits:
         assert abs(exact[key] - approx[key]) < 1e-9
+
+
+def test_curate_pipeline(spark):
+    """Composed curation: quality gate + exact dedup + near-dup removal.
+    Survivors must be unique by fingerprint, contain no verified near-dup
+    pair, and all clear the quality bar."""
+    from esmarc_spark.ops import dedup
+    from esmarc_spark.ops.curate import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curate(docs)
+    rows = out.collect()
+    assert rows
+    assert all(r.quality >= 0.5 for r in rows)
+    ids = {r.doc_id for r in rows}
+    survivors = docs.join(out.select("doc_id"), "doc_id", "left_semi")
+    fps = dedup.exact_duplicate_groups(survivors)
+    assert fps.where("n_docs > 1").count() == 0
+    remaining_dups = dedup.ngram_jaccard(
+        survivors, dedup.lsh_candidate_pairs(survivors)
+    ).where("jaccard >= 0.8")
+    assert remaining_dups.count() == 0
+    assert ids < {r.doc_id for r in docs.select("doc_id").collect()} or len(ids) == docs.count()
