@@ -255,12 +255,18 @@ def enrich_wikidata(records: DataFrame, wd: DataFrame) -> DataFrame:
     JVM side maps every sameAs id through the 10-system P-code dim (first
     matching prefix per id — ref wikidata.py:51-56 breaks on first match),
     explodes the (property, value) pairs, joins, and re-groups matched
-    records. Records already carrying a WIKIDATA sameAs are skipped (the
-    reference's must_not prefilter, wikidata.py:129-131)."""
+    records. Records already carrying any wikidata.org reference in their
+    sameAs are skipped — the reference's stdin path tests the WHOLE
+    serialized sameAs (`"wikidata.org" in str(rec["sameAs"])`,
+    wikidata.py:121-123), which also catches WIKIDATA-published entries
+    whose @id points elsewhere; mirrored here on the raw JSON slice."""
     import re as _re
 
     ids = same_as_ids(F.col("doc"))
-    not_enriched = ~F.exists(ids, lambda i: i.contains("wikidata.org"))
+    not_enriched = ~F.coalesce(
+        F.get_json_object(F.col("doc"), "$.sameAs").contains("wikidata.org"),
+        F.lit(False),
+    )
 
     def pair_of(i: F.Column) -> F.Column:
         expr = F.lit(None).cast("struct<property:string,value:string>")
