@@ -98,3 +98,39 @@ def linked_to_triples(linked: DataFrame, source_index: str = "webtext") -> DataF
         .unionAll(entity_same_as)
         .unionAll(entity_name)
     )
+
+
+def sink_triples(
+    triples: DataFrame,
+    target: str,
+    fmt: str = "parquet",
+    partition_col: str | None = "pday",
+    mode: str = "append",
+) -> None:
+    """Materialize the triple set (north_star: 'emits (subj, pred, obj)
+    JSON-LD triples to Iceberg').
+
+    fmt="iceberg": DataSourceV2 ``writeTo(<catalog.table>)`` append —
+    requires an Iceberg catalog on the session (spark.sql.catalog.* +
+    iceberg-spark-runtime jars; not present in this sandbox, so this
+    branch is exercised on real clusters only). Idempotent re-runs use
+    ``overwritePartitions()`` instead of append.
+
+    fmt="parquet" (the sandbox stand-in and the tested path): partitioned
+    parquet with dynamic partition overwrite — operationally equivalent
+    semantics (partition-atomic replace) without the catalog."""
+    if fmt == "iceberg":
+        w = triples.writeTo(target)
+        if mode == "overwrite_partitions":
+            w.overwritePartitions()
+        else:
+            w.append()
+        return
+    writer = triples.write.mode(
+        "overwrite" if mode == "overwrite_partitions" else mode
+    )
+    if partition_col and partition_col in triples.columns:
+        spark = triples.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(target)
