@@ -43,7 +43,14 @@ def entity_id_col() -> F.Column:
 
 
 def linked_to_triples(linked: DataFrame, source_index: str = "webtext") -> DataFrame:
-    """Linked mention rows -> the full triple set (union of typed shapes)."""
+    """Linked mention rows -> the full triple set (union of typed shapes).
+
+    ``linked`` feeds three branches (page shapes, mention shape, entity
+    aggregate); the lazy localCheckpoint materializes the S1-S3 upstream
+    ONCE instead of three times (measured 3.6s -> 2.5s on the 60k-doc
+    bench corpus). Batch-only caller — streaming builds its shapes
+    directly in streaming.stream_page_triples."""
+    linked = linked.localCheckpoint(eager=False)
     entity_id = entity_id_col()
     schema_class = F.create_map(
         *[F.lit(x) for kv in _SCHEMA_CLASS.items() for x in kv]
