@@ -126,3 +126,69 @@ def test_ngram_inline_and_join_paths_agree(spark):
     a = {tuple(r) for r in inline.collect()}
     b = {tuple(r) for r in join.collect()}
     assert a == b and a
+
+
+def test_ngram_randomized_against_python_reference(spark):
+    """200 random docs x random multi-word gazetteer, both physical paths
+    vs an independent pure-Python leftmost-longest scanner."""
+    import random
+
+    rng = random.Random(20240816)
+    vocab = [f"w{i}" for i in range(12)]
+    surfaces = set()
+    while len(surfaces) < 9:
+        n = rng.choice([1, 1, 2, 3])
+        surfaces.add(" ".join(rng.choice(vocab) for _ in range(n)))
+    surfaces = sorted(surfaces)
+
+    docs = []
+    for d in range(200):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        docs.append((f"u{d}", " ".join(toks), "en"))
+
+    def py_scan(text):
+        toks = text.split(" ") if text else []
+        # clean exactly like the operator: strip edge punctuation (none here)
+        out = []
+        consumed = -1
+        i = 0
+        lengths = sorted({len(s.split(" ")) for s in surfaces}, reverse=True)
+        while i < len(toks):
+            if i < consumed:
+                i += 1
+                continue
+            hit = None
+            for L in lengths:  # longest first at this position
+                if i + L <= len(toks):
+                    gram = " ".join(toks[i : i + L])
+                    if gram in surfaces:
+                        hit = (gram, i, L)
+                        break
+            if hit:
+                out.append((hit[0], hit[1]))
+                consumed = hit[1] + hit[2]
+                i = consumed
+            else:
+                i += 1
+        return out
+
+    expected = set()
+    for url, text, _ in docs:
+        if text == "":
+            # operator tokenizes "" to [""] -> no surface match
+            continue
+        for surface, pos in py_scan(text):
+            expected.add((url, surface, pos))
+
+    df = _docs(spark, docs)
+    gaz = _gaz(spark, surfaces)
+    inline = {
+        (r.url, r.surface_form, r.position)
+        for r in detect_mentions_ngram(df, gaz).collect()
+    }
+    join = {
+        (r.url, r.surface_form, r.position)
+        for r in detect_mentions_ngram(df, gaz, max_inline_surfaces=0).collect()
+    }
+    assert inline == expected
+    assert join == expected
