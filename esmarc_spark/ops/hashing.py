@@ -9,8 +9,11 @@ Spark:  conv(substring(md5(s), 1, 15), 16, 10)::long
 DuckDB: cast('0x' || substr(md5(s), 1, 15) as bigint)
 
 xxhash64 would be faster but is Spark-private; md5 keeps the oracle exact.
-Swap PORTABLE=False for xxhash64 in production runs where cross-engine
-verification isn't needed.
+Measured portability tax (sf0.1, 32 cores, full LSH candidate pipeline):
+xxhash64 4.16s vs md5 4.67s — ~10%. The shingle construction and
+explode/aggregation machinery dominate, not the hash, so the engine keeps
+the verifiable hash everywhere rather than offering a fast-but-unverified
+mode.
 """
 
 from __future__ import annotations
