@@ -349,6 +349,210 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return enrich_sachgruppen(records, gnd_records, gnd_subjects)
 
+    def enrich_wikidata_docs(spark, sf):
+        # P-code prefix dim -> (property, value) explode -> join; skip
+        # already-enriched; synthetic records carry VIAF+GND ids, the wd
+        # table resolves a subset of them
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.pipeline.bots import enrich_wikidata
+
+        _ensure_shipped(spark)
+        base = spark.range(150)
+        gnd = F.concat(F.lit("1186"), F.lpad(F.col("id").cast("string"), 5, "0"))
+        viaf = (F.col("id") * 31 + 7).cast("string")
+        wd_mark = F.when(  # every 9th record is already wikidata-enriched
+            F.col("id") % 9 == 0,
+            F.array(
+                F.struct(
+                    F.concat(F.lit("http://www.wikidata.org/entity/Q"), F.col("id")).alias("@id"),
+                    F.struct(F.lit("WIKIDATA").alias("abbr")).alias("publisher"),
+                    F.struct(F.lit("Dataset").alias("@type"),
+                             F.concat(F.lit("http://www.wikidata.org/entity/Q"), F.col("id")).alias("@id")).alias("isBasedOn"),
+                )
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<`@id`:string,publisher:struct<abbr:string>,"
+            "isBasedOn:struct<`@type`:string,`@id`:string>>>"
+        ))
+        same_as = F.concat(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("https://d-nb.info/gnd/"), gnd).alias("@id"),
+                    F.struct(F.lit("DNB").alias("abbr")).alias("publisher"),
+                    F.struct(F.lit("Dataset").alias("@type"),
+                             F.concat(F.lit("http://example.org/src/"), F.col("id")).alias("@id")).alias("isBasedOn"),
+                ),
+                F.struct(
+                    F.concat(F.lit("http://viaf.org/viaf/"), viaf).alias("@id"),
+                    F.struct(F.lit("VIAF").alias("abbr")).alias("publisher"),
+                    F.struct(F.lit("Dataset").alias("@type"),
+                             F.concat(F.lit("http://example.org/src/"), F.col("id")).alias("@id")).alias("isBasedOn"),
+                ),
+            ),
+            wd_mark,
+        )
+        records = base.select(
+            F.col("id").cast("string").alias("record_id"),
+            F.to_json(F.struct(
+                F.concat(F.lit("https://data.slub-dresden.de/persons/"), F.col("id")).alias("@id"),
+                same_as.alias("sameAs"),
+            )).alias("doc"),
+        )
+        # wd resolves GND for id%2==0 and VIAF for id%3==0 (same Q per id)
+        q = F.concat(F.lit("http://www.wikidata.org/entity/Q"), (F.col("id") * 17).cast("string"))
+        wd = (
+            base.where(F.col("id") % 2 == 0)
+            .select(F.lit("P227").alias("property"), gnd.alias("value"), q.alias("wd_uri"))
+            .unionByName(
+                base.where(F.col("id") % 3 == 0)
+                .select(F.lit("P214").alias("property"), viaf.alias("value"), q.alias("wd_uri"))
+            )
+        )
+        return enrich_wikidata(records, wd)
+
+    def enrich_sitelinks_docs(spark, sf):
+        # wikidata-id join -> 4-site dim; every 5th record has an obsolete
+        # culturegraph-provenance dewiki link that must be REPLACED in place
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.pipeline.bots import enrich_wikipedia_sitelinks
+
+        _ensure_shipped(spark)
+        base = spark.range(120)
+        wd_id = F.concat(F.lit("Q"), (F.col("id") * 3 + 11).cast("string"))
+        wd_uri = F.concat(F.lit("http://www.wikidata.org/entity/"), wd_id)
+        obsolete = F.when(
+            F.col("id") % 5 == 0,
+            F.array(
+                F.struct(
+                    F.concat(F.lit("https://de.wikipedia.org/wiki/Alt_"), F.col("id")).alias("@id"),
+                    F.struct(F.lit("dewiki").alias("abbr"),
+                             F.lit("Wikipedia (Deutsch)").alias("preferredName")).alias("publisher"),
+                    F.struct(F.lit("Dataset").alias("@type"),
+                             F.concat(F.lit("http://hub.culturegraph.org/entityfacts/"), F.col("id")).alias("@id")).alias("isBasedOn"),
+                )
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<`@id`:string,publisher:struct<abbr:string,preferredName:string>,"
+            "isBasedOn:struct<`@type`:string,`@id`:string>>>"
+        ))
+        records = base.select(
+            F.col("id").cast("string").alias("record_id"),
+            F.to_json(F.struct(
+                F.concat(F.lit("https://data.slub-dresden.de/geo/"), F.col("id")).alias("@id"),
+                F.concat(
+                    F.array(
+                        F.struct(
+                            wd_uri.alias("@id"),
+                            F.struct(F.lit("WIKIDATA").alias("abbr"),
+                                     F.lit(None).cast("string").alias("preferredName")).alias("publisher"),
+                            F.struct(F.lit("Dataset").alias("@type"), wd_uri.alias("@id")).alias("isBasedOn"),
+                        )
+                    ),
+                    obsolete,
+                ).alias("sameAs"),
+            )).alias("doc"),
+        )
+        # sitelinks: dewiki for id%2==0, enwiki for id%3==0, cswiki id%7==0
+        def site(rows_filter, site_name, host):
+            return base.where(rows_filter).select(
+                wd_id.alias("wd_id"),
+                F.lit(site_name).alias("site"),
+                F.concat(F.lit(f"https://{host}/wiki/Ort_"), F.col("id")).alias("url"),
+                F.concat(F.lit("Ort "), F.col("id").cast("string")).alias("title"),
+            )
+        sitelinks = (
+            site(F.col("id") % 2 == 0, "dewiki", "de.wikipedia.org")
+            .unionByName(site(F.col("id") % 3 == 0, "enwiki", "en.wikipedia.org"))
+            .unionByName(site(F.col("id") % 7 == 0, "cswiki", "cs.wikipedia.org"))
+        )
+        return enrich_wikipedia_sitelinks(records, sitelinks)
+
+    def enrich_categories_docs(spark, sf):
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.pipeline.bots import enrich_wikipedia_categories
+
+        _ensure_shipped(spark)
+        base = spark.range(100)
+        title = F.concat(F.lit("Stadt_"), F.col("id").cast("string"))
+        records = base.select(
+            F.col("id").cast("string").alias("record_id"),
+            F.to_json(F.struct(
+                F.concat(F.lit("https://data.slub-dresden.de/geo/"), F.col("id")).alias("@id"),
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("https://de.wikipedia.org/wiki/"), title).alias("@id"),
+                        F.struct(F.lit("dewiki").alias("abbr")).alias("publisher"),
+                        F.struct(F.lit("Dataset").alias("@type"),
+                                 F.concat(F.lit("http://www.wikidata.org/entity/Q"), F.col("id")).alias("@id")).alias("isBasedOn"),
+                    )
+                ).alias("sameAs"),
+            )).alias("doc"),
+        )
+        # 2 category pages for id%3!=2, none otherwise
+        pages = (
+            base.where(F.col("id") % 3 != 2)
+            .select(
+                F.lit("de").alias("cc"), title.alias("wp_title"),
+                (F.col("id") * 100 + 1).alias("page_id"),
+                F.concat(F.lit("Kategorie:Region "), (F.col("id") % 16).cast("string")).alias("page_title"),
+            )
+            .unionByName(
+                base.where(F.col("id") % 3 == 0).select(
+                    F.lit("de").alias("cc"), title.alias("wp_title"),
+                    (F.col("id") * 100 + 2).alias("page_id"),
+                    F.lit("Kategorie:Große Stadt").alias("page_title"),
+                )
+            )
+        )
+        return enrich_wikipedia_categories(records, pages)
+
+    def enrich_geonames_docs(spark, sf):
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.pipeline.bots import enrich_geonames
+
+        _ensure_shipped(spark)
+        base = spark.range(100)
+        lat = (F.lit(45.0) + (F.col("id") % 40).cast("double") * 0.5)
+        lon = (F.lit(5.0) + (F.col("id") % 50).cast("double") * 0.5)
+        records = base.select(
+            F.col("id").cast("string").alias("record_id"),
+            F.to_json(F.struct(
+                F.concat(F.lit("https://data.slub-dresden.de/geo/"), F.col("id")).alias("@id"),
+                F.concat(F.lit("Ort "), (F.col("id") % 25).cast("string")).alias("preferredName"),
+                F.struct(
+                    F.format_number(lat, 4).alias("latitude"),
+                    F.format_number(lon, 4).alias("longitude"),
+                ).alias("geo"),
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("https://d-nb.info/gnd/10"), F.col("id")).alias("@id"),
+                        F.struct(F.lit("DNB").alias("abbr")).alias("publisher"),
+                        F.struct(F.lit("Dataset").alias("@type"),
+                                 F.concat(F.lit("http://example.org/src/"), F.col("id")).alias("@id")).alias("isBasedOn"),
+                    )
+                ).alias("sameAs"),
+            )).alias("doc"),
+        )
+        # gazetteer: for id%2==0 a point ~30m away whose name CONTAINS the
+        # record name; for id%4==1 a nearby point matching via alternateName
+        g1 = base.where(F.col("id") % 2 == 0).select(
+            (F.col("id") + 500000).cast("string").alias("id"),
+            F.concat(F.lit("Ort "), (F.col("id") % 25).cast("string"), F.lit(" Zentrum")).alias("name"),
+            F.array(F.lit("x")).alias("alternate_names"),
+            (lat + F.lit(0.0002)).alias("lat"), lon.alias("lon"),
+        )
+        g2 = base.where(F.col("id") % 4 == 1).select(
+            (F.col("id") + 600000).cast("string").alias("id"),
+            F.concat(F.lit("Anders-"), F.col("id").cast("string")).alias("name"),
+            F.array(F.concat(F.lit("Ort "), (F.col("id") % 25).cast("string"))).alias("alternate_names"),
+            lat.alias("lat"), (lon + F.lit(0.0003)).alias("lon"),
+        )
+        return enrich_geonames(records, g1.unionByName(g2))
+
     def marc_fixture_triples(spark, sf):
         # non-SQL-expressible (nested JSON mini-language); rows-only check
         import json
@@ -389,6 +593,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": curate_docs,
         "enrich_entityfacts_docs": enrich_entityfacts_docs,
         "enrich_sachgruppen_docs": enrich_sachgruppen_docs,
+        "enrich_wikidata_docs": enrich_wikidata_docs,
+        "enrich_sitelinks_docs": enrich_sitelinks_docs,
+        "enrich_categories_docs": enrich_categories_docs,
+        "enrich_geonames_docs": enrich_geonames_docs,
         "marc_fixture_triples": marc_fixture_triples,
     }
 
@@ -495,6 +703,30 @@ QUALIFY rank <= 5
             "SELECT cast(record_id AS varchar) AS record_id, doc "
             "FROM read_json_auto("
             "'/root/repo/tests/golden/enrich_entityfacts_docs.ldj', "
+            "format='newline_delimited', columns={record_id: 'VARCHAR', doc: 'VARCHAR'})"
+        ),
+        "enrich_wikidata_docs": (
+            "SELECT cast(record_id AS varchar) AS record_id, doc "
+            "FROM read_json_auto("
+            "'/root/repo/tests/golden/enrich_wikidata_docs.ldj', "
+            "format='newline_delimited', columns={record_id: 'VARCHAR', doc: 'VARCHAR'})"
+        ),
+        "enrich_sitelinks_docs": (
+            "SELECT cast(record_id AS varchar) AS record_id, doc "
+            "FROM read_json_auto("
+            "'/root/repo/tests/golden/enrich_sitelinks_docs.ldj', "
+            "format='newline_delimited', columns={record_id: 'VARCHAR', doc: 'VARCHAR'})"
+        ),
+        "enrich_categories_docs": (
+            "SELECT cast(record_id AS varchar) AS record_id, doc "
+            "FROM read_json_auto("
+            "'/root/repo/tests/golden/enrich_categories_docs.ldj', "
+            "format='newline_delimited', columns={record_id: 'VARCHAR', doc: 'VARCHAR'})"
+        ),
+        "enrich_geonames_docs": (
+            "SELECT cast(record_id AS varchar) AS record_id, doc "
+            "FROM read_json_auto("
+            "'/root/repo/tests/golden/enrich_geonames_docs.ldj', "
             "format='newline_delimited', columns={record_id: 'VARCHAR', doc: 'VARCHAR'})"
         ),
         "enrich_sachgruppen_docs": (
