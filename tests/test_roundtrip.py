@@ -46,3 +46,49 @@ def test_roundtrip_fixture_docs(spark):
         for pred, value in original.items():
             assert _normalize(got[pred]) == _normalize(value), (rid, pred)
         assert set(got) == set(original)
+
+
+def test_roundtrip_enriched_docs(spark):
+    """Bot-enriched documents (nested category maps, multilingual name
+    dicts, litter-merged sameAs lists) survive doc->triples->doc up to the
+    documented scalar/[scalar] and set equivalences."""
+    import json
+
+    from esmarc_spark.mapping.engine import doc_to_triples, docs_from_triples, parse_obj
+
+    enriched = {
+        "@id": "https://data.slub-dresden.de/geo/42",
+        "preferredName": "Dresden",
+        "name": {"de": ["Dresden"], "en": ["Dresden", "Dresdan"]},
+        "category": {
+            "de": [
+                {"@id": "https://de.wikipedia.org/wiki/?curid=1",
+                 "sameAs": "https://de.wikipedia.org/wiki/Kategorie:Stadt",
+                 "name": "Stadt"},
+            ]
+        },
+        "sameAs": [
+            {"@id": "https://d-nb.info/gnd/1", "publisher": {"abbr": "DNB"},
+             "isBasedOn": {"@type": "Dataset", "@id": "http://s/1"}},
+            {"@id": "http://viaf.org/viaf/2",
+             "publisher": {"abbr": "VIAF", "preferredName": "VIAF"},
+             "isBasedOn": {"@type": "Dataset",
+                           "@id": "http://hub.culturegraph.org/entityfacts/1"}},
+        ],
+    }
+    triples = list(doc_to_triples("geo", enriched))
+    tdf = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    [row] = docs_from_triples(tdf).collect()
+    back = json.loads(row.doc)
+    assert back["@id"] == enriched["@id"]
+    assert back["preferredName"] == "Dresden"
+    assert parse_obj(json.dumps(back["name"])) if isinstance(back["name"], str) else True
+    name = back["name"] if isinstance(back["name"], dict) else json.loads(back["name"])
+    assert name["en"] == ["Dresden", "Dresdan"]
+    cat = back["category"] if isinstance(back["category"], dict) else json.loads(back["category"])
+    assert cat["de"][0]["name"] == "Stadt"
+    got_sameas = back["sameAs"]
+    if isinstance(got_sameas, dict):
+        got_sameas = [got_sameas]
+    ids = {s["@id"] if isinstance(s, dict) else json.loads(s)["@id"] for s in got_sameas}
+    assert ids == {"https://d-nb.info/gnd/1", "http://viaf.org/viaf/2"}
