@@ -215,3 +215,53 @@ def test_curate_pipeline(spark):
     ).where("jaccard >= 0.8")
     assert remaining_dups.count() == 0
     assert ids < {r.doc_id for r in docs.select("doc_id").collect()} or len(ids) == docs.count()
+
+
+def test_asof_randomized_against_pandas_merge_asof(spark):
+    """as_of_join vs pandas.merge_asof (an independent third engine beside
+    the DuckDB ASOF oracle) on random keyed event streams with ties."""
+    import pandas as pd
+
+    from esmarc_spark.ops.asof import as_of_join
+
+    rng = np.random.RandomState(99)
+    base = pd.Timestamp("2024-05-01")
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 7, 300),
+            "ts": base + pd.to_timedelta(rng.randint(0, 5000, 300), unit="s"),
+        }
+    ).assign(lid=range(300))
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 7, 200),
+            "ts": base + pd.to_timedelta(rng.randint(0, 5000, 200), unit="s"),
+            "val": rng.randint(0, 10**6, 200).astype("int64"),
+        }
+    )
+    # merge_asof needs de-duplicated deterministic ordering on ties: keep
+    # the max val per (k, ts) on the right, mirroring the operator's
+    # greatest-row-wins tie rule for a unique answer
+    right = right.sort_values(["k", "ts", "val"]).groupby(["k", "ts"], as_index=False).last()
+
+    ldf = spark.createDataFrame(left, "k long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(right, "k long, ts timestamp, val long")
+    # the union-carry implementation transports the value as string
+    got = {
+        r.lid: (None if r.asof_value is None else int(r.asof_value))
+        for r in as_of_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+            value_col="val", out_col="asof_value",
+        ).collect()
+    }
+
+    want_df = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts", by="k", direction="backward", allow_exact_matches=True,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.val) else int(r.val))
+        for r in want_df.itertuples()
+    }
+    assert got == want
