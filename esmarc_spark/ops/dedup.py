@@ -107,6 +107,12 @@ def minhash_signatures(
     map-side partial min, so the shuffle carries one row per doc.
     Docs with < shingle_k tokens have no shingles and drop out (same on the
     oracle side).
+
+    Measured non-wins (round 2, sf0.1/32c, keep for posterity): a map-only
+    variant folding 16-wide min arrays in-array was 1.8x SLOWER (7.0s vs
+    3.9s — nested array materialization beats the explode it avoids), and
+    xxhash64 instead of md5 saves only ~10% (the hash is not the
+    bottleneck; shingle construction is).
     """
     hs = F.transform(shingles_col(k=shingle_k), lambda x: base_hash32(x))
     sh = documents.select("doc_id", F.explode(hs).alias("h"))
