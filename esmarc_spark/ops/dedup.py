@@ -10,7 +10,7 @@ against DuckDB through __spark_entry__):
                    quadratic blowup is bounded by bucket size, and the band
                    shuffle key (band_id, band_hash) is high-cardinality
 * SimHash        — 32-bit sign-aggregated token hash; near-dups differ in
-                   few bits; one map-only projection
+                   few bits; explode + partial-agg bit-count sums
 * n-gram Jaccard — exact similarity, computed only for LSH candidate pairs
                    (never all-pairs)
 

@@ -310,6 +310,7 @@ def test_reference_oracle_works_getmarc_cells(ref):
 ENTITY_CODES = [
     (None, "resources"),
     ("p", "persons"),
+    ("n", "persons-n"),  # non-individualized names dispatch to persons too
     ("s", "topics"),
     ("b", "organizations"),
     ("g", "geo"),
@@ -326,7 +327,11 @@ DATE_PROPS = {
 }
 
 
-@pytest.mark.parametrize("code,entity", ENTITY_CODES, ids=[e for _, e in ENTITY_CODES])
+@pytest.mark.parametrize(
+    "code,entity",
+    [(c, e.split("-")[0]) for c, e in ENTITY_CODES],
+    ids=[e for _, e in ENTITY_CODES],
+)
 def test_reference_oracle_record_e2e(ref, code, entity):
     """Full-record parity per entity type: inject the 079..b dispatch code
     into each fixture record and compare our map_record against the
