@@ -349,6 +349,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return enrich_sachgruppen(records, gnd_records, gnd_subjects)
 
+    def events_sessions_stateful(spark, sf):
+        # the applyInPandasWithState STREAMING sessionizer, hash-verified
+        # against the same ANSI sessionize oracle as the batch operator —
+        # the stateful streaming path must produce the identical session
+        # assignment. AvailableNow catch-up into a foreachBatch collector;
+        # fresh checkpoint per invocation.
+        import shutil
+        import tempfile
+
+        from esmarc_spark.pipeline.streaming import run_sessionize_available_now
+
+        _ensure_shipped(spark)
+        staging = tempfile.mkdtemp(prefix="events_stream_")
+        shutil.copy(f"{sf}/events.parquet", f"{staging}/events.parquet")
+        latest = run_sessionize_available_now(
+            spark, staging, tempfile.mkdtemp(prefix="sess_ckpt_"), gap_minutes=30
+        )
+        rows = [
+            (u, seq, n, start.strftime("%Y-%m-%d %H:%M:%S"))
+            for (u, seq), (n, start) in sorted(latest.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "user_id long, session_seq long, n_events long, session_start string",
+        )
+
     def enrich_wikidata_docs(spark, sf):
         # P-code prefix dim -> (property, value) explode -> join; skip
         # already-enriched; synthetic records carry VIAF+GND ids, the wd
@@ -579,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": rollup_revenue,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
+        "events_sessions_stateful": events_sessions_stateful,
         "text_stats": text_stats,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -665,6 +692,7 @@ QUALIFY rank <= 5
         "rollup_revenue": relational.ROLLUP_REVENUE_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_sessions": relational.events_sessionize_sql(),
+        "events_sessions_stateful": relational.events_sessionize_sql(),
         "text_stats": text_stats_sql,
         "dedup_exact_groups": dedup.FINGERPRINT_GROUPS_SQL,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql(),
