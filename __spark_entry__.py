@@ -651,6 +651,7 @@ SELECT doc_id,
        {text.MEAN_TOKEN_LEN_SQL} AS mean_token_len,
        {text.stopword_ratio_sql()} AS stopword_ratio,
        {text.LANG_GUESS_SQL} AS lang_guess,
+       {text.lang_guess_ngram_sql()} AS lang_guess_ngram,
        {text.QUALITY_SCORE_SQL} AS quality,
        {text.FINGERPRINT_SQL} AS fingerprint
 FROM documents

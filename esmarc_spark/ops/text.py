@@ -124,6 +124,44 @@ LANG_GUESS_SQL = (
 )
 
 
+# character-n-gram signature sets for the n-gram language heuristic:
+# high-frequency trigrams that separate en/de in latin-script text
+_EN_TRIGRAMS = ["the", " th", "ing", " an", "ion"]
+_DE_TRIGRAMS = ["der", "sch", "ein", "ich", "und"]
+
+
+def _trigram_pattern(grams: list[str]) -> str:
+    import re as _re
+
+    return "|".join(_re.escape(g) for g in grams)
+
+
+def lang_guess_ngram(text: Column | str = "text") -> Column:
+    """Character-n-gram language ID (the task brief's 'n-gram heuristic'
+    rendering, complementing the stopword vote): count signature trigram
+    occurrences per language in lowercased text, majority wins. Pure
+    regexp_count — map-only codegen, engine-portable."""
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(c)
+    en = F.regexp_count(low, F.lit(_trigram_pattern(_EN_TRIGRAMS)))
+    de = F.regexp_count(low, F.lit(_trigram_pattern(_DE_TRIGRAMS)))
+    return (
+        F.when(en > de, F.lit("en")).when(de > en, F.lit("de")).otherwise(F.lit("und"))
+    )
+
+
+def lang_guess_ngram_sql() -> str:
+    en = _trigram_pattern(_EN_TRIGRAMS)
+    de = _trigram_pattern(_DE_TRIGRAMS)
+    return (
+        f"case when len(regexp_extract_all(lower(text), '{en}'))"
+        f" > len(regexp_extract_all(lower(text), '{de}')) then 'en' "
+        f"when len(regexp_extract_all(lower(text), '{de}'))"
+        f" > len(regexp_extract_all(lower(text), '{en}')) then 'de' "
+        f"else 'und' end"
+    )
+
+
 def fingerprint(text: Column | str = "text") -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased text."""
     c = F.col(text) if isinstance(text, str) else text
@@ -185,6 +223,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
         .when(de_stops > stops, F.lit("de"))
         .otherwise(F.lit("und"))
         .alias("lang_guess"),
+        lang_guess_ngram().alias("lang_guess_ngram"),
         fingerprint().alias("fingerprint"),
     )
     len_band = F.when(
@@ -199,6 +238,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
         "mean_token_len",
         "stopword_ratio",
         "lang_guess",
+        "lang_guess_ngram",
         F.round((len_band + F.col("distinct_ratio") + has_stop) / F.lit(3.0), ROUND_N).alias(
             "quality"
         ),
