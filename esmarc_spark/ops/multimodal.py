@@ -77,14 +77,17 @@ def synth_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
 
 
 def decode_image_stub(payload: bytes) -> tuple[int, int, bytes]:
-    """STUB decoder: parses the synthetic 8-byte header and returns
-    (width, height, body). A real implementation would be e.g.
-    ``PIL.Image.open(io.BytesIO(payload))``; everything around this
-    function is production plumbing."""
+    """Header-stub decoder for the synthetic-header media table (the
+    round-1 shape, kept for the media_stats driver query): parses the
+    8-byte (width, height) header and returns (width, height, body).
+    REAL decoding lives in ops.media_codecs (PPM/WAV/PPM-stream,
+    stdlib+numpy) behind decode_features/resize_images/
+    sample_video_frames; JPEG/MP4 would swap those codec bodies for
+    Pillow/ffmpeg."""
     if payload is None or len(payload) < 8:
-        raise NotImplementedError(
-            "real media decoding needs an image library not present in this "
-            "container; synthetic payloads carry a parsable header instead"
+        raise ValueError(
+            "not a synthetic-header payload; use ops.media_codecs for real "
+            "formats (PPM/WAV/PPM-stream)"
         )
     w = _struct.unpack(">i", payload[0:4])[0]
     h = _struct.unpack(">i", payload[4:8])[0]
