@@ -27,8 +27,10 @@ def test_media_schema_and_header(media):
         assert body
 
 
-def test_decode_stub_raises_on_real_media():
-    with pytest.raises(NotImplementedError):
+def test_decode_stub_rejects_foreign_payloads():
+    # real formats go through ops.media_codecs; the header stub only
+    # accepts the synthetic-header table's payloads
+    with pytest.raises(ValueError):
         decode_image_stub(b"tiny")
 
 
