@@ -1,5 +1,5 @@
-"""Multimodal plumbing tests: schema, batch shapes, pruning-friendly
-metadata path; decode itself is a documented stub."""
+"""Multimodal tests: schema, batch shapes, pruning-friendly metadata path
+(header-stub table), plus the REAL PPM/WAV/PPM-stream codec pipeline."""
 
 import pytest
 from pyspark.sql import functions as F
