@@ -278,6 +278,12 @@ def decode_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
             zcr = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
             return 0, 0, 0, rate, dur_ms, [rms, peak, zcr]
         frames = C.decode_ppm_stream(payload)
+        if not frames:
+            # a zero-length payload is a valid-but-empty stream; without
+            # this the frames[0] below would IndexError inside the Arrow
+            # batch and fail the whole task (junk image/audio payloads
+            # already raise a clean ValueError in the codecs)
+            raise ValueError("empty ppm stream")
         h, w, _ = frames[0].shape
         delta = (
             float(np.abs(frames[-1].astype(int) - frames[0].astype(int)).mean())

@@ -145,12 +145,18 @@ def same_as_ids(doc_col: F.Column) -> F.Column:
 def gnd_id_of(doc_col: F.Column) -> F.Column:
     """LAST sameAs id containing d-nb.info with >4 slash-separated parts,
     final path segment — ref entityfacts.py:79-82 / gnd_sachgruppen.py:141-146
-    (the loop overwrites, so the last match wins)."""
+    (the loop overwrites, so the last match wins).
+
+    ``try_element_at``: under Spark 4's default ANSI mode a plain
+    ``element_at`` on the empty match array ABORTS the job
+    (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) before any isNotNull guard runs;
+    records without a d-nb.info sameAs must yield NULL and be skipped, as
+    the reference does (entityfacts.py:84-86)."""
     matches = F.filter(
         same_as_ids(doc_col),
         lambda i: i.contains("d-nb.info") & (F.size(F.split(i, "/")) > 4),
     )
-    return F.element_at(F.split(F.element_at(matches, -1), "/"), -1)
+    return F.element_at(F.split(F.try_element_at(matches, F.lit(-1)), "/"), -1)
 
 
 def _merged(
@@ -556,7 +562,12 @@ def enrich_wikipedia_sitelinks(records: DataFrame, sitelinks: DataFrame) -> Data
     """records ⋈ sitelinks(wd_id, site, url, title) on the record's FIRST
     wikidata sameAs id (ref wikipedia.py:86-91 breaks on first match)."""
     ids = same_as_ids(F.col("doc"))
-    wd_uri = F.element_at(F.filter(ids, lambda i: i.contains("wikidata")), 1)
+    # try_element_at: ANSI mode errors on element_at(empty, 1) — a record
+    # with no wikidata sameAs must fall through to the isNotNull filter
+    # (ref wikipedia.py:91-92 skips such records)
+    wd_uri = F.try_element_at(
+        F.filter(ids, lambda i: i.contains("wikidata")), F.lit(1)
+    )
     keyed = (
         records.withColumn("_wd_uri", wd_uri)
         .where(F.col("_wd_uri").isNotNull())
@@ -587,18 +598,31 @@ def enrich_wikipedia_sitelinks(records: DataFrame, sitelinks: DataFrame) -> Data
 # ---------------------------------------------------------------------------
 
 
-def _wpcat_merge(doc: dict, pages_json: str) -> dict | None:
+def _wpcat_merge(doc: dict, links_json: str) -> dict | None:
     """Port of ref wikipedia_categories.py:21-84: one category object per
-    joined category page, grouped per wikipedia country code."""
-    pages = json.loads(pages_json)
+    joined category page, accumulated per wikipedia country code in sameAs
+    order. Pages are looked up PER LINK (cc, title): a link whose title
+    joined zero category pages mirrors the reference's pages-less API
+    response — KeyError at ref :64 → None for the WHOLE record, discarding
+    categories from its other links (all-or-nothing)."""
+    import urllib.parse
+
+    by_link = {
+        (l["cc"], l["wp_title"]): l["pages"] for l in json.loads(links_json)
+    }
     retobj: dict = {}
     changed = False
     for _id in [x["@id"] for x in doc["sameAs"]]:
         if "wikipedia" not in _id:
             continue
+        seg = _id.split("/")[-1]
+        wp_title = urllib.parse.unquote(seg)
         cc = _id.split("/")[2].split(".")[0]
+        pages = by_link.get((cc, wp_title)) or by_link.get((cc, seg))
+        if not pages:
+            return None
         base = f"https://{cc}.wikipedia.org/wiki/"
-        for page in pages.get(cc, []):
+        for page in pages:
             obj = {
                 "@id": base + "?curid={}".format(page["page_id"]),
                 "sameAs": base + page["page_title"].replace(" ", "_"),
@@ -616,25 +640,38 @@ def enrich_wikipedia_categories(
     records: DataFrame, category_pages: DataFrame
 ) -> DataFrame:
     """records ⋈ category_pages(cc, wp_title, page_id, page_title) on every
-    wikipedia sameAs link (cc + url-decoded title)."""
+    wikipedia sameAs link (cc + url-decoded title), pages kept PER LINK so
+    the merge can mirror the reference's all-or-nothing KeyError semantics
+    (a barren title drops the whole record — ref :74-78).
+
+    ``try_url_decode``: ANSI mode would abort the job on a malformed
+    percent-escape; the reference's ``unquote`` leaves such segments as-is,
+    so fall back to the raw segment (the merge lookup tries both)."""
     ids = same_as_ids(F.col("doc"))
     wps = F.filter(ids, lambda i: i.contains("wikipedia"))
     links = F.transform(
         wps,
         lambda i: F.struct(
             F.split(F.element_at(F.split(i, "/"), 3), r"\.")[0].alias("cc"),
-            F.url_decode(F.element_at(F.split(i, "/"), -1)).alias("wp_title"),
+            F.coalesce(
+                F.try_url_decode(F.element_at(F.split(i, "/"), -1)),
+                F.element_at(F.split(i, "/"), -1),
+            ).alias("wp_title"),
         ),
     )
-    keyed = records.withColumn("_l", F.explode(links)).select(
-        "record_id",
-        "doc",
-        F.col("_l.cc").alias("cc"),
-        F.col("_l.wp_title").alias("wp_title"),
+    keyed = (
+        records.withColumn("_l", F.explode(links))
+        .select(
+            "record_id",
+            "doc",
+            F.col("_l.cc").alias("cc"),
+            F.col("_l.wp_title").alias("wp_title"),
+        )
+        .dropDuplicates(["record_id", "cc", "wp_title"])
     )
     joined = keyed.join(category_pages, ["cc", "wp_title"], "inner")
     grouped = (
-        joined.groupBy("record_id", "doc", "cc")
+        joined.groupBy("record_id", "doc", "cc", "wp_title")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("page_id", "page_title"))
@@ -643,11 +680,17 @@ def enrich_wikipedia_categories(
         .groupBy("record_id", "doc")
         .agg(
             F.to_json(
-                F.map_from_entries(F.collect_list(F.struct("cc", "_pages")))
-            ).alias("_pages_by_cc")
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "cc", "wp_title", F.col("_pages").alias("pages")
+                        )
+                    )
+                )
+            ).alias("_links")
         )
     )
-    return _merged(grouped, _wpcat_merge, ["_pages_by_cc"])
+    return _merged(grouped, _wpcat_merge, ["_links"])
 
 
 # ---------------------------------------------------------------------------
@@ -713,9 +756,21 @@ def enrich_geonames(
     (name-containment conditions evaluated per candidate, in id order).
 
     geonames schema: (id string, name string, alternate_names
-    array<string>, lat double, lon double)."""
+    array<string>, lat double, lon double).
+
+    Caller-level gate: both reference paths exclude already-enriched
+    records BEFORE the bot runs (stdin: ``"geonames" in str(rec[sameAs])``
+    geonames.py:129; ES: must_not prefix filters on sws./www.geonames @ids
+    geonames.py:137) — mirrored here on the raw sameAs JSON slice, like
+    the wikidata bot's gate. The in-merge quirk check (ref :51) stays as
+    the faithful no-op it is."""
     from esmarc_spark.pipeline.enrichment import _cell, _haversine_km
 
+    not_enriched = ~F.coalesce(
+        F.get_json_object(F.col("doc"), "$.sameAs").contains("geonames"),
+        F.lit(False),
+    )
+    records = records.where(not_enriched)
     g = F.from_json(F.col("doc"), _GEO_SCHEMA)["geo"]
     keyed = (
         records.withColumn("_lat", g["latitude"].cast("double"))

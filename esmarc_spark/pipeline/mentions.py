@@ -179,7 +179,6 @@ def detect_mentions_ngram(
 
     position = token index of the first token of the match.
     """
-    spark = webtext.sparkSession
     surf_df = gazetteer.select("surface_form").distinct()
     # ONE action probes the gazetteer: up to threshold+1 rows decide the
     # strategy AND give the inline path its surface set (streaming always
@@ -206,11 +205,17 @@ def detect_mentions_ngram(
         )
     if max_n is not None:
         lengths = [n for n in lengths if n <= max_n]
-    if not lengths:  # empty gazetteer -> empty mentions, stable schema
-        schema = MENTIONS_SCHEMA
-        for c in extra_cols:
-            schema += f", {c} {webtext.schema[c].dataType.simpleString()}"
-        return spark.createDataFrame([], schema)
+    if not lengths:
+        # empty gazetteer -> empty mentions with a stable schema, derived
+        # from the INPUT frame so a streaming caller gets a streaming frame
+        # (a createDataFrame([]) here would break the downstream writeStream)
+        return webtext.where(F.lit(False)).select(
+            F.col("url"),
+            F.lit(None).cast("string").alias("surface_form"),
+            F.lit(None).cast("long").alias("position"),
+            F.col("lang"),
+            *extra_cols,
+        )
 
     base = _tokens_base(webtext, extra_cols)
 

@@ -445,3 +445,129 @@ def test_geonames_no_candidates_drops_record(spark):
         "id string, name string, alternate_names array<string>, lat double, lon double",
     )
     assert enrich_geonames(records, geonames).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r2 regressions: ANSI-safe key extraction, caller-level geonames
+# gate, all-or-nothing category semantics
+# ---------------------------------------------------------------------------
+
+
+def _no_gnd_record():
+    return {
+        "@id": "https://data.slub-dresden.de/persons/2",
+        "sameAs": [
+            {"@id": "http://viaf.org/viaf/123", "publisher": {"abbr": "VIAF"},
+             "isBasedOn": {"@type": "Dataset", "@id": "http://example.org/src/2"}}
+        ],
+    }
+
+
+def test_entityfacts_skips_records_without_gnd(spark):
+    # ANSI mode: element_at(empty, -1) used to ABORT the whole job before
+    # the isNotNull guard ran (ADVICE r2 high) — records without a
+    # d-nb.info sameAs must simply be skipped (ref entityfacts.py:84-86)
+    from esmarc_spark.pipeline.bots import enrich_entityfacts
+
+    records = _docs_df(
+        spark,
+        {
+            "r1": _ef_record(),
+            "r2": _no_gnd_record(),
+            "r3": {"@id": "https://data.slub-dresden.de/persons/3"},
+        },
+    )
+    ef = spark.createDataFrame(
+        [(GND, json.dumps(EF_SAME_AS))], "gnd_id string, ef_same_as string"
+    )
+    assert set(_out_docs(enrich_entityfacts(records, ef))) == {"r1"}
+
+
+def test_sitelinks_skips_records_without_wikidata(spark):
+    # same ANSI trap for element_at(..., 1) on the wikidata uri
+    from esmarc_spark.pipeline.bots import enrich_wikipedia_sitelinks
+
+    records = _docs_df(
+        spark, {"r1": _wp_record(False), "r2": _no_gnd_record()}
+    )
+    sitelinks = spark.createDataFrame(
+        [(WD_ID, site, info["url"], info["title"]) for site, info in SITELINKS.items()],
+        "wd_id string, site string, url string, title string",
+    )
+    assert set(_out_docs(enrich_wikipedia_sitelinks(records, sitelinks))) == {"r1"}
+
+
+def test_geonames_already_enriched_gate(spark):
+    # both reference paths exclude already-geonames-enriched records BEFORE
+    # the bot runs (stdin gate geonames.py:129 / ES must_not :137); a record
+    # carrying a sws.geonames sameAs NODE must not be re-enriched
+    from esmarc_spark.pipeline.bots import enrich_geonames
+
+    rec = _gn_record()
+    rec["sameAs"].append(
+        {"@id": "https://sws.geonames.org/2935022/",
+         "publisher": {"abbr": "geonames", "preferredName": "GeoNames",
+                       "isBasedOn": {"@type": "Dataset",
+                                     "@id": "https://sws.geonames.org/2935022/"}}}
+    )
+    records = _docs_df(spark, {"r1": rec})
+    geonames = spark.createDataFrame(
+        GEONAMES_FIXTURE,
+        "id string, name string, alternate_names array<string>, lat double, lon double",
+    )
+    assert enrich_geonames(records, geonames).count() == 0
+
+
+def _two_wiki_record():
+    rec = _wpcat_record()
+    rec["sameAs"].append(
+        {"@id": "https://en.wikipedia.org/wiki/Dresden",
+         "publisher": {"abbr": "enwiki"},
+         "isBasedOn": {"@type": "Dataset",
+                       "@id": "http://www.wikidata.org/entity/Q1731"}}
+    )
+    return rec
+
+
+def test_wpcat_barren_title_drops_whole_record(spark, fake_requests):
+    # ref :74-78: a pages-less API response for ANY link raises KeyError ->
+    # None for the whole record, discarding the other links' categories
+    ref = _load_ref("wikipedia_categories", fake_requests)
+    fake_requests.routes = [
+        ("de.wikipedia.org/w/api.php", {"query": {"pages": copy.deepcopy(WP_PAGES)}}),
+        ("en.wikipedia.org/w/api.php", {"query": {}}),
+    ]
+    rec = _two_wiki_record()
+    assert ref.get_wpcategories(rec) is None
+
+    from esmarc_spark.pipeline.bots import enrich_wikipedia_categories
+
+    records = _docs_df(spark, {"r1": rec})
+    pages = spark.createDataFrame(  # the en link joins ZERO pages
+        [("de", "Dresden", int(pid), d["title"]) for pid, d in WP_PAGES.items()],
+        "cc string, wp_title string, page_id long, page_title string",
+    )
+    assert enrich_wikipedia_categories(records, pages).count() == 0
+
+
+def test_wpcat_multi_link_parity(spark, fake_requests):
+    ref = _load_ref("wikipedia_categories", fake_requests)
+    en_pages = {"2001": {"title": "Category:Cities in Saxony"}}
+    fake_requests.routes = [
+        ("de.wikipedia.org/w/api.php", {"query": {"pages": copy.deepcopy(WP_PAGES)}}),
+        ("en.wikipedia.org/w/api.php", {"query": {"pages": copy.deepcopy(en_pages)}}),
+    ]
+    rec = _two_wiki_record()
+    theirs = ref.get_wpcategories(copy.deepcopy(rec))
+    assert theirs is not None and set(theirs["category"]) == {"de", "en"}
+
+    from esmarc_spark.pipeline.bots import enrich_wikipedia_categories
+
+    records = _docs_df(spark, {"r1": rec})
+    rows = [("de", "Dresden", int(pid), d["title"]) for pid, d in WP_PAGES.items()]
+    rows += [("en", "Dresden", int(pid), d["title"]) for pid, d in en_pages.items()]
+    pages = spark.createDataFrame(
+        rows, "cc string, wp_title string, page_id long, page_title string"
+    )
+    ours = _out_docs(enrich_wikipedia_categories(records, pages))
+    assert ours == {"r1": theirs}

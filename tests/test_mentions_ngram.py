@@ -192,3 +192,19 @@ def test_ngram_randomized_against_python_reference(spark):
     }
     assert inline == expected
     assert join == expected
+
+
+def test_ngram_empty_gazetteer_streaming_stays_streaming(spark, tmp_path):
+    # ADVICE r2: the empty-gazetteer early-return must hand a STREAMING
+    # caller a streaming frame (derived from the input), not a batch
+    # createDataFrame that breaks the downstream writeStream
+    src = str(tmp_path / "src")
+    _docs(spark, [("u1", "some text", "en")]).write.parquet(src)
+    stream = (
+        spark.readStream.schema("url string, text string, lang string")
+        .parquet(src)
+    )
+    out = detect_mentions_ngram(stream, _gaz(spark, []))
+    assert out.isStreaming
+    assert out.columns == ["url", "surface_form", "position", "lang"]
+    assert dict(out.dtypes)["position"] == "bigint"

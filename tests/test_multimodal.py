@@ -140,3 +140,16 @@ def test_real_resize_and_frames(spark):
     for r in frames:
         assert r.frame_idx % 2 == 0
         assert C.decode_ppm(bytes(r.frame)).ndim == 3
+
+
+def test_video_empty_stream_raises_clean_valueerror(spark):
+    # ADVICE r2: an empty-but-valid ppm stream must hit the same clean
+    # ValueError contract as junk image/audio payloads, not IndexError
+    from esmarc_spark.ops.multimodal import decode_features
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b""))],
+        "media_id long, modality string, media binary",
+    )
+    with pytest.raises(Exception, match="empty ppm stream"):
+        decode_features(df).collect()
