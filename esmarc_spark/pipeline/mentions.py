@@ -40,11 +40,30 @@ def _compile_pattern(surface_forms: list[str]) -> re.Pattern:
     return re.compile(rf"(?<!\w)(?:{body})(?!\w)")
 
 
+# compiled-alternation cache, keyed per detect_mentions call: python
+# workers are reused across tasks (spark.python.worker.reuse), so each
+# worker compiles the (potentially huge) pattern once instead of per task
+_REGEX_CACHE: dict[str, re.Pattern] = {}
+
+
 def detect_mentions(webtext: DataFrame, surface_forms: list[str]) -> DataFrame:
-    """Pandas-UDF scan: (url, text, lang) -> exploded mention rows."""
-    pattern = _compile_pattern(surface_forms)
+    """Pandas-UDF scan: (url, text, lang) -> exploded mention rows.
+
+    The gazetteer ships as a SparkContext broadcast variable (torrent
+    distribution, once per executor) rather than a closure capture that
+    would ride every task; the compiled pattern is memoized per python
+    worker."""
+    import uuid
+
+    sc = webtext.sparkSession.sparkContext
+    bc = sc.broadcast(sorted(set(surface_forms)))
+    cache_key = uuid.uuid4().hex
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pattern = _REGEX_CACHE.get(cache_key)
+        if pattern is None:
+            pattern = _compile_pattern(bc.value)
+            _REGEX_CACHE[cache_key] = pattern
         for pdf in batches:
             urls, surfaces, positions, langs = [], [], [], []
             for url, text, lang in zip(pdf["url"], pdf["text"], pdf["lang"]):
@@ -89,6 +108,72 @@ def _positions(anchor_tokens: list[str] | None = None) -> F.Column:
     if anchor_tokens is not None:
         pos = F.filter(pos, lambda i: F.element_at(arr, i).isin(*anchor_tokens))
     return pos
+
+
+BLOOM_COL = "_anchor_bloom"
+_BLOOM_WORD_BITS = 62  # bits packed per long; top 2 bits unused so every
+#                        word and every 2^k divisor stays positive
+
+
+def _bloom_build(surf_df: DataFrame, n_tok0: int) -> tuple[DataFrame, int]:
+    """Single-row DataFrame carrying an ``array<bigint>`` Bloom bitmap
+    (62 bits packed per word) over the gazetteer's DISTINCT first tokens,
+    plus the filter size in bits (a power of 2). ~24 slots/key, single
+    hash -> ~4% false positives; false negatives are impossible, so the
+    downstream exact broadcast join sees every true candidate. One small
+    job collects the set slot positions (<= n_tok0 longs) — never the
+    token strings.
+
+    The bitmap reaches the corpus as a broadcast single-row cross join
+    (see detect_mentions_ngram), NOT as a plan literal: probing a large
+    literal is a measured trap — a '0'/'1' STRING costs an O(m) UTF8
+    position scan per probe, and a BINARY literal is implicitly cast
+    right back to string by substring. element_at on a broadcast-attached
+    array column is a true O(1) read, and the packed words keep the
+    broadcast at m/62 longs (~2 MB for 10^6 first tokens)."""
+    # cap keeps h int-addressable; past ~45M distinct first tokens the
+    # false-positive rate degrades gracefully instead of overflowing
+    m_bits = 1 << min(30, max(13, (24 * max(n_tok0, 1) - 1).bit_length()))
+    tok0 = F.split("surface_form", " ")[0]
+    bits = (
+        surf_df.select(
+            F.xxhash64(tok0).bitwiseAND(F.lit(m_bits - 1)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m_bits + _BLOOM_WORD_BITS - 1) // _BLOOM_WORD_BITS)
+    for r in bits:
+        b = r["b"]
+        words[b // _BLOOM_WORD_BITS] |= 1 << (b % _BLOOM_WORD_BITS)
+    bloom_df = surf_df.sparkSession.createDataFrame(
+        [(words,)], f"{BLOOM_COL} array<bigint>"
+    )
+    return bloom_df, m_bits
+
+
+def _pow2() -> F.Column:
+    """2^0 .. 2^62 — a 63-element literal array, the variable-offset bit
+    test's stand-in for shiftright (whose shift amount must be a Python
+    int). Built lazily: Column construction needs an active context."""
+    return F.array(*[F.lit(1 << k) for k in range(_BLOOM_WORD_BITS + 1)])
+
+
+def _bloom_test(m_bits: int, token: F.Column) -> F.Column:
+    """Row-local Bloom membership against the broadcast ``BLOOM_COL``
+    array: xxhash64 -> word via O(1) element_at -> bit via exact integer
+    pmod against a tiny power-of-two lookup. Pure JVM expressions — no
+    Python, no per-probe join, no shuffle, no gazetteer strings (or big
+    literals) in the plan."""
+    p2 = _pow2()
+    h = F.xxhash64(token).bitwiseAND(F.lit(m_bits - 1))
+    word = F.element_at(
+        F.col(BLOOM_COL), (h / _BLOOM_WORD_BITS).cast("int") + 1
+    )
+    off = F.pmod(h, F.lit(_BLOOM_WORD_BITS)).cast("int")
+    return F.pmod(word, F.element_at(p2, off + 2)) >= F.element_at(
+        p2, off + 1
+    )
 
 
 def _gram_structs(lengths: list[int], positions: F.Column) -> F.Column:
@@ -153,6 +238,7 @@ def detect_mentions_ngram(
     max_n: int | None = None,
     extra_cols: tuple[str, ...] = (),
     max_inline_surfaces: int = 4096,
+    anchor_prefilter: bool = True,
 ) -> DataFrame:
     """JVM-only multi-word gazetteer scan: token n-grams ⋈ broadcast(surfaces).
 
@@ -168,11 +254,15 @@ def detect_mentions_ngram(
 
     * join (anything larger — the 10^5–10^6-surface gazetteers the north
       star implies, where inlined literal sets are a plan-size/driver
-      hazard): candidate n-grams for every gazetteer token-length at every
-      position, exploded; membership decided by a broadcast hash join (plan
-      size independent of gazetteer cardinality); the leftmost-longest fold
-      then re-groups per document — a shuffle carrying ONLY matched
-      mentions, never the corpus.
+      hazard): candidate start positions are first pruned by a pure-codegen
+      Bloom filter over the gazetteer's distinct FIRST tokens (the join
+      path's rendering of the inline path's anchor-token ``isin`` — without
+      it, gram construction costs corpus_tokens x |lengths| string concats
+      at every position); surviving n-grams are exploded and membership is
+      decided exactly by a broadcast hash join (plan size independent of
+      gazetteer cardinality — the bitmap is one opaque binary literal); the
+      leftmost-longest fold then re-groups per document — a shuffle
+      carrying ONLY matched mentions, never the corpus.
 
     Both produce identical results (strict regex-finditer overlap
     semantics, see ``_fold_leftmost_longest``).
@@ -194,15 +284,21 @@ def detect_mentions_ngram(
         surface_set = sorted(r["surface_form"] for r in head)
         lengths = sorted({len(sf.split(" ")) for sf in surface_set})
     else:
-        # only the distinct token-count SET is collected (a handful of ints)
-        lengths = sorted(
-            r[0]
-            for r in surf_df.select(
-                F.size(F.split("surface_form", " ")).alias("n")
+        # one small agg collects the distinct token-count SET (a handful
+        # of ints) plus the first-token cardinality that sizes the bloom
+        row = (
+            surf_df.select(
+                F.size(F.split("surface_form", " ")).alias("n"),
+                F.split("surface_form", " ")[0].alias("t0"),
             )
-            .distinct()
-            .collect()
+            .agg(
+                F.collect_set("n").alias("ns"),
+                F.count_distinct("t0").alias("n0"),
+            )
+            .collect()[0]
         )
+        lengths = sorted(row["ns"])
+        n_tok0 = row["n0"]
     if max_n is not None:
         lengths = [n for n in lengths if n <= max_n]
     if not lengths:
@@ -236,7 +332,18 @@ def detect_mentions_ngram(
             *extra_cols,
         )
 
-    grams = _gram_structs(lengths, _positions())
+    pos = _positions()
+    if anchor_prefilter:
+        # the bitmap rides a broadcast single-row cross join (no shuffle,
+        # no plan literal); positions whose token fails the first-token
+        # Bloom never build a gram
+        bloom_df, m_bits = _bloom_build(surf_df, n_tok0)
+        base = base.crossJoin(F.broadcast(bloom_df))
+        arr = F.col("_toks")
+        pos = F.filter(
+            pos, lambda i: _bloom_test(m_bits, F.element_at(arr, i))
+        )
+    grams = _gram_structs(lengths, pos)
     candidates = base.select(
         "url", "lang", *extra_cols, F.explode(grams).alias("g")
     ).select(

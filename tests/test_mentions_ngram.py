@@ -190,8 +190,15 @@ def test_ngram_randomized_against_python_reference(spark):
         (r.url, r.surface_form, r.position)
         for r in detect_mentions_ngram(df, gaz, max_inline_surfaces=0).collect()
     }
+    join_unfiltered = {
+        (r.url, r.surface_form, r.position)
+        for r in detect_mentions_ngram(
+            df, gaz, max_inline_surfaces=0, anchor_prefilter=False
+        ).collect()
+    }
     assert inline == expected
     assert join == expected
+    assert join_unfiltered == expected
 
 
 def test_ngram_empty_gazetteer_streaming_stays_streaming(spark, tmp_path):
@@ -208,3 +215,58 @@ def test_ngram_empty_gazetteer_streaming_stays_streaming(spark, tmp_path):
     assert out.isStreaming
     assert out.columns == ["url", "surface_form", "position", "lang"]
     assert dict(out.dtypes)["position"] == "bigint"
+
+
+def test_anchor_bloom_no_false_negatives(spark):
+    # the prefilter is allowed false positives (the exact broadcast join
+    # removes them) but NEVER false negatives — and its fp rate must stay
+    # near the designed ~4%
+    from esmarc_spark.pipeline.mentions import _bloom_build, _bloom_test
+
+    surf = _gaz(spark, [f"tok{i} rest" for i in range(3000)])
+    bloom_df, m = _bloom_build(surf.select("surface_form").distinct(), 3000)
+    probes = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(3000)] + [(f"zz{i}",) for i in range(3000)],
+        "t string",
+    )
+    rows = (
+        probes.crossJoin(F.broadcast(bloom_df))
+        .select(
+            F.col("t").startswith("tok").alias("member"),
+            _bloom_test(m, F.col("t")).alias("hit"),
+        )
+        .groupBy("member")
+        .agg(F.sum(F.col("hit").cast("int")).alias("n_hit"), F.count("*").alias("n"))
+        .collect()
+    )
+    d = {r.member: (r.n_hit, r.n) for r in rows}
+    assert d[True] == (3000, 3000)
+    assert d[False][0] <= 0.15 * d[False][1]
+
+
+def test_join_path_plan_has_bloom_prefilter(spark):
+    # the broadcast-attached bitmap must appear in the plan (the cross
+    # join) and gram construction must sit behind the position filter
+    docs = _docs(spark, [("u1", "alpha beta gamma", "en")])
+    gaz = _gaz(spark, ["alpha", "beta delta"])
+    out = detect_mentions_ngram(docs, gaz, max_inline_surfaces=0)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_anchor_bloom" in plan
+    assert "BroadcastNestedLoopJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_regex_path_broadcast_gazetteer_at_scale(spark):
+    # VERDICT r2 #9: a 10^5-surface gazetteer must ride a broadcast
+    # variable, not the task closure; results stay correct and the
+    # pattern compiles once per worker (not per task)
+    surfaces = [f"entity{i} name" for i in range(100_000)] + ["Dresden"]
+    docs = _docs(
+        spark,
+        [("u1", "entity42 name liegt bei Dresden", "de"),
+         ("u2", "nichts", "de")],
+    )
+    out = {
+        (r.url, r.surface_form, r.position)
+        for r in detect_mentions(docs, surfaces).collect()
+    }
+    assert out == {("u1", "entity42 name", 0), ("u1", "Dresden", 24)}
