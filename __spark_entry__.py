@@ -160,8 +160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return purchases_with_last_view(_t(spark, sf, "events"))
 
     def media_stats(spark, sf):
-        # synthetic media table (binary columns + typed metadata); decode is
-        # stubbed, plumbing is real -> rows-only check
+        # synthetic media table (binary columns + typed metadata); DuckDB
+        # re-aggregates the vendored metadata parquet as the oracle (the
+        # vendored slice is pytest-pinned to the generator)
         from esmarc_spark.ops.multimodal import media_metadata_stats, synth_media
 
         return media_metadata_stats(synth_media(spark, n=300))
@@ -764,6 +765,16 @@ QUALIFY rank <= 5
             "'/root/repo/tests/golden/enrich_sachgruppen_docs.ldj', "
             "format='newline_delimited', columns={record_id: 'VARCHAR', doc: 'VARCHAR'})"
         ),
-        # media_stats: no oracle (synthetic binary table exists only
-        # Spark-side) -> rows-only check
+        # media_stats: DuckDB re-runs the aggregation itself over the
+        # vendored METADATA slice of the deterministic synth_media table
+        # (tests/golden/media_meta.parquet, pinned to the generator by
+        # pytest) — a real second-engine check of the groupBy/avg logic,
+        # not a precomputed answer
+        "media_stats": (
+            "SELECT modality, count(*) AS n, "
+            "round(avg(width), 2) AS avg_width, "
+            "round(avg(duration_ms), 2) AS avg_duration_ms "
+            "FROM read_parquet('/root/repo/tests/golden/media_meta.parquet') "
+            "GROUP BY modality ORDER BY modality"
+        ),
     }

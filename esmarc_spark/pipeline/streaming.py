@@ -191,16 +191,14 @@ def sessionize_stream(
     )
 
 
-def run_sessionize_available_now(
+def _sessionize_query(
     spark: SparkSession,
     input_dir: str,
     checkpoint_dir: str,
-    gap_minutes: int = 30,
-    max_files_per_trigger: int | None = None,
-) -> dict:
-    """Catch-up run of the stateful sessionizer; returns the latest row per
-    (user_id, session_seq) collected via foreachBatch (update-mode sinks
-    for tests; production would MERGE into the session table)."""
+    sink,
+    gap_minutes: int,
+    max_files_per_trigger: int | None,
+) -> None:
     reader = spark.readStream.schema(
         "user_id long, event_id long, ts timestamp"
     )
@@ -208,13 +206,6 @@ def run_sessionize_available_now(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
     sessions = sessionize_stream(stream, gap_minutes)
-
-    latest: dict = {}
-
-    def sink(batch_df, batch_id):
-        for r in batch_df.collect():
-            latest[(r.user_id, r.session_seq)] = (r.n_events, r.session_start)
-
     q = (
         sessions.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
@@ -223,4 +214,103 @@ def run_sessionize_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_sessionize_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Catch-up run of the stateful sessionizer; returns the latest row per
+    (user_id, session_seq) collected into a driver dict via foreachBatch.
+    TEST/driver-contract harness only — the production path is
+    run_sessionize_to_table (distributed idempotent sink)."""
+    latest: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[(r.user_id, r.session_seq)] = (r.n_events, r.session_start)
+
+    _sessionize_query(
+        spark, input_dir, checkpoint_dir, sink, gap_minutes, max_files_per_trigger
+    )
     return latest
+
+
+def run_sessionize_to_table(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """PRODUCTION sink for the stateful sessionizer: an idempotent MERGE
+    rendered as an append-log of per-batch upsert directories plus a
+    latest-wins read view (read_session_table).
+
+    Each micro-batch OVERWRITES its own ``batch_id=<n>`` partition
+    directory, so a batch replayed after a crash-before-commit rewrites
+    byte-identical content instead of duplicating it — exactly-once end
+    to end without a transactional table format. Write cost is
+    proportional to the batch (no read-modify-write of the table); the
+    MERGE itself happens at read time (max_by batch_id per session key)
+    and is folded periodically by compact_session_table."""
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            f"{table_dir}/batch_id={batch_id}"
+        )
+
+    _sessionize_query(
+        spark, input_dir, checkpoint_dir, sink, gap_minutes, max_files_per_trigger
+    )
+
+
+def read_session_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Latest-wins view over the session append-log: one row per
+    (user_id, session_seq), from the highest batch that touched it. One
+    shuffle on the log (which holds only touched-session rows, not the
+    event stream); map-side-combining max_by keeps it cheap."""
+    log = spark.read.parquet(table_dir)
+    return (
+        log.groupBy("user_id", "session_seq")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "session_start"), F.col("batch_id")
+            ).alias("_v")
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            F.col("_v.n_events").alias("n_events"),
+            F.col("_v.session_start").alias("session_start"),
+        )
+    )
+
+
+def compact_session_table(spark: SparkSession, table_dir: str) -> None:
+    """Fold the append-log into a single snapshot partition: the merged
+    view is rewritten under the highest existing batch_id and older
+    partitions are dropped. Run between streaming runs (same cadence as
+    any log-structured table's compaction)."""
+    import shutil
+    from pathlib import Path
+
+    dirs = sorted(
+        p
+        for p in Path(table_dir).iterdir()
+        if p.is_dir() and p.name.startswith("batch_id=")
+    )
+    if len(dirs) <= 1:
+        return
+    top = max(int(p.name.split("=")[1]) for p in dirs)
+    # distributed: materialize the merged view into a sibling temp dir,
+    # then swap — never through the driver
+    tmp = Path(f"{table_dir}.compact.tmp")
+    read_session_table(spark, table_dir).write.mode("overwrite").parquet(str(tmp))
+    for p in dirs:
+        shutil.rmtree(p)
+    tmp.rename(Path(table_dir) / f"batch_id={top}")

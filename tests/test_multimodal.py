@@ -153,3 +153,25 @@ def test_video_empty_stream_raises_clean_valueerror(spark):
     )
     with pytest.raises(Exception, match="empty ppm stream"):
         decode_features(df).collect()
+
+
+def test_media_meta_golden_matches_generator(spark):
+    # pins tests/golden/media_meta.parquet (the DuckDB side of the
+    # media_stats oracle) to the current synth_media generator output;
+    # regen: scripts/regen_golden_media_stats.py
+    import pyarrow.parquet as pq
+
+    from esmarc_spark.ops.multimodal import synth_media
+
+    golden = sorted(
+        tuple(r)
+        for r in pq.read_table(
+            "/root/repo/tests/golden/media_meta.parquet"
+        ).to_pylist()
+        for r in [(r["media_id"], r["modality"], r["width"], r["height"], r["duration_ms"])]
+    )
+    current = sorted(
+        (r.media_id, r.modality, r.meta.width, r.meta.height, r.meta.duration_ms)
+        for r in synth_media(spark, n=300).select("media_id", "modality", "meta").collect()
+    )
+    assert golden == current

@@ -135,3 +135,80 @@ def test_stateful_sessionize_state_spans_batches(spark, tmp_path):
         gap_minutes=30, max_files_per_trigger=1,
     )
     assert again == {}
+
+
+def test_sessionize_table_sink_exactly_once(spark, tmp_path):
+    """Production table sink (VERDICT r2 #4): resume processes only new
+    files; a batch replayed after a simulated crash-before-commit
+    rewrites identical content instead of duplicating; compaction folds
+    the log without changing the view."""
+    import datetime as dt
+    import glob as g
+    import os
+
+    from esmarc_spark.pipeline.streaming import (
+        compact_session_table,
+        read_session_table,
+        run_sessionize_to_table,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    in_dir = str(tmp_path / "events")
+    table = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, event_id long, ts timestamp"
+
+    a = [(1, 0, base), (1, 1, base + dt.timedelta(minutes=5))]
+    spark.createDataFrame(a, schema).repartition(1).write.parquet(in_dir)
+    os.rename(g.glob(f"{in_dir}/part-*.parquet")[0], f"{in_dir}/a-00.parquet")
+
+    run_sessionize_to_table(
+        spark, in_dir, table, ckpt, gap_minutes=30, max_files_per_trigger=1
+    )
+
+    def view():
+        return {
+            (r.user_id, r.session_seq): r.n_events
+            for r in read_session_table(spark, table).collect()
+        }
+
+    assert view() == {(1, 1): 2}
+
+    b = [
+        (1, 2, base + dt.timedelta(minutes=10)),  # same session as file a
+        (1, 3, base + dt.timedelta(hours=2)),  # new session
+    ]
+    spark.createDataFrame(b, schema).repartition(1).write.mode("append").parquet(in_dir)
+    os.rename(g.glob(f"{in_dir}/part-*.parquet")[0], f"{in_dir}/b-00.parquet")
+
+    run_sessionize_to_table(
+        spark, in_dir, table, ckpt, gap_minutes=30, max_files_per_trigger=1
+    )
+    want = {(1, 1): 3, (1, 2): 1}
+    assert view() == want
+
+    # crash-replay: drop the newest commit marker -> the engine re-runs
+    # the last batch; its batch_id dir is overwritten, the view must not
+    # change (idempotent upsert)
+    commits = sorted(g.glob(f"{ckpt}/commits/[0-9]*"))
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):  # checksum sidecar would block the re-write
+        os.remove(crc)
+    run_sessionize_to_table(
+        spark, in_dir, table, ckpt, gap_minutes=30, max_files_per_trigger=1
+    )
+    assert view() == want
+
+    compact_session_table(spark, table)
+    assert len([p for p in os.listdir(table) if p.startswith("batch_id=")]) == 1
+    assert view() == want
+
+    # exactly-once: nothing new -> no new batch directories
+    before = sorted(os.listdir(table))
+    run_sessionize_to_table(
+        spark, in_dir, table, ckpt, gap_minutes=30, max_files_per_trigger=1
+    )
+    assert sorted(os.listdir(table)) == before
