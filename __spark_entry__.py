@@ -644,6 +644,11 @@ def oracle_sql() -> dict[str, str]:
     similarity_near_dups_sql = EMBEDDING_NEAR_DUPS_SQL_TEMPLATE.format(threshold=0.35)
     similarity_near_dups_bucketed_sql = embedding_near_dups_bucketed_sql(threshold=0.35)
 
+    from esmarc_spark.lookups.stopwords import LANG_PRIORITY
+
+    lang_vote_cols = ",\n       ".join(
+        f"{text.lang_vote_count_sql(l)} AS _lc_{l}" for l in LANG_PRIORITY
+    )
     text_stats_sql = f"""
 SELECT doc_id,
        cast({text.TOKEN_COUNT_SQL} AS bigint) AS n_tokens,
@@ -651,11 +656,13 @@ SELECT doc_id,
        {text.DISTINCT_TOKEN_RATIO_SQL} AS distinct_ratio,
        {text.MEAN_TOKEN_LEN_SQL} AS mean_token_len,
        {text.stopword_ratio_sql()} AS stopword_ratio,
-       {text.LANG_GUESS_SQL} AS lang_guess,
+       {text.lang_guess_multi_case_sql()} AS lang_guess,
        {text.lang_guess_ngram_sql()} AS lang_guess_ngram,
        {text.QUALITY_SCORE_SQL} AS quality,
        {text.FINGERPRINT_SQL} AS fingerprint
-FROM documents
+FROM (SELECT *,
+       {lang_vote_cols}
+      FROM documents)
 """
 
     sim_topk_sql = """

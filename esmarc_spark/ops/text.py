@@ -18,10 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from esmarc_spark.lookups.stopwords import LANG_PRIORITY, STOPWORDS
+
 ROUND_N = 6
 
-# shared stopword list for the language heuristic (tiny on purpose; the
-# point is the operator shape — swap a real table in production)
+# legacy minimal lists: stopword_ratio's default and the en/de trigram
+# variant keep them; language ID proper votes over the full
+# lookups.stopwords dim (15 languages, ~30 function words each)
 _EN_STOP = ["the", "a", "of", "and"]
 _DE_STOP = ["der", "die", "das", "und"]
 
@@ -101,27 +104,58 @@ def stopword_ratio_sql(stopwords: list[str] | None = None) -> str:
     )
 
 
+def lang_vote_counts(toks: Column) -> dict[str, Column]:
+    """Per-language stopword vote counts over lowercased tokens — one
+    ``size(filter(isin))`` per language, all codegen, map-only."""
+    low = F.transform(toks, F.lower)
+
+    def member_of(sw: tuple[str, ...]):
+        # closure factory: a default-arg lambda would be read by the HOF
+        # machinery as a second lambda variable
+        return lambda t: t.isin(*sw)
+
+    return {
+        lang: F.size(F.filter(low, member_of(STOPWORDS[lang])))
+        for lang in LANG_PRIORITY
+    }
+
+
+def lang_from_votes(counts: dict[str, Column]) -> Column:
+    """Majority vote with the deterministic LANG_PRIORITY tie-break; zero
+    votes -> 'und'. The DuckDB oracle applies the identical order."""
+    mx = F.greatest(*counts.values())
+    w = F.when(mx <= 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        w = w.when(counts[lang] == mx, F.lit(lang))
+    return w.otherwise(F.lit("und"))
+
+
 def lang_guess(text: Column | str = "text") -> Column:
-    """Stopword-vote language ID: en vs de vs und. The operator shape is the
-    point (vectorized n-gram/stopword heuristic); the tiny dictionaries make
-    it oracle-checkable."""
-    toks = tokens_col(text)
-    en = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP)))
-    de = F.size(F.filter(toks, lambda t: t.isin(*_DE_STOP)))
+    """Stopword-vote language ID over the 15-language dim
+    (lookups.stopwords) — the production rendering of the round-1 toy."""
+    return lang_from_votes(lang_vote_counts(tokens_col(text)))
+
+
+def _sw_inlist(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+def lang_vote_count_sql(lang: str) -> str:
+    """DuckDB rendering of one language's vote count."""
     return (
-        F.when(en > de, F.lit("en")).when(de > en, F.lit("de")).otherwise(F.lit("und"))
+        "len(list_filter(list_transform(string_split(text,' '),"
+        f" t -> lower(t)), t -> t in ({_sw_inlist(lang)})))"
     )
 
 
-_EN_IN = ", ".join(f"'{w}'" for w in _EN_STOP)
-_DE_IN = ", ".join(f"'{w}'" for w in _DE_STOP)
-LANG_GUESS_SQL = (
-    f"case when len(list_filter(string_split(text,' '), t -> t in ({_EN_IN})))"
-    f" > len(list_filter(string_split(text,' '), t -> t in ({_DE_IN}))) then 'en' "
-    f"when len(list_filter(string_split(text,' '), t -> t in ({_DE_IN})))"
-    f" > len(list_filter(string_split(text,' '), t -> t in ({_EN_IN}))) then 'de' "
-    f"else 'und' end"
-)
+def lang_guess_multi_case_sql(prefix: str = "_lc_") -> str:
+    """DuckDB CASE over precomputed per-language vote columns (name them
+    ``{prefix}<lang>`` in a subquery via lang_vote_count_sql)."""
+    mx = "greatest(" + ", ".join(prefix + l for l in LANG_PRIORITY) + ")"
+    whens = " ".join(
+        f"when {prefix}{l} = {mx} then '{l}'" for l in LANG_PRIORITY
+    )
+    return f"case when {mx} <= 0 then 'und' {whens} else 'und' end"
 
 
 # character-n-gram signature sets for the n-gram language heuristic:
@@ -201,9 +235,15 @@ def text_stats(documents: DataFrame) -> DataFrame:
     toks = F.col("_toks")
     n = F.size(toks)
     stops = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP)))
-    de_stops = F.size(F.filter(toks, lambda t: t.isin(*_DE_STOP)))
+    votes = lang_vote_counts(toks)
     staged = documents.select(
         "doc_id", "text", tokens_col().alias("_toks")
+    ).select(  # vote stage: one named count column per language, so the
+        # 15 isin-filters land in their own codegen unit
+        "doc_id",
+        "text",
+        "_toks",
+        *[votes[l].alias(f"_lc_{l}") for l in LANG_PRIORITY],
     ).select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
@@ -219,10 +259,9 @@ def text_stats(documents: DataFrame) -> DataFrame:
             ROUND_N,
         ).alias("mean_token_len"),
         F.round(stops.cast("double") / n, ROUND_N).alias("stopword_ratio"),
-        F.when(stops > de_stops, F.lit("en"))
-        .when(de_stops > stops, F.lit("de"))
-        .otherwise(F.lit("und"))
-        .alias("lang_guess"),
+        lang_from_votes(
+            {l: F.col(f"_lc_{l}") for l in LANG_PRIORITY}
+        ).alias("lang_guess"),
         lang_guess_ngram().alias("lang_guess_ngram"),
         fingerprint().alias("fingerprint"),
     )
