@@ -101,10 +101,32 @@ def embedding_near_dups(
     )
 
 
+def auto_lsh_bits(
+    n_rows: int, target_bucket: int = 256, lo: int = 4, hi: int = 24
+) -> int:
+    """Signature width that keeps EXPECTED bucket occupancy near
+    ``target_bucket`` (n / 2^bits): per-bucket scoring is quadratic, so a
+    fixed width that is fine at 10^5 rows melts at 10^8. Clamped so tiny
+    corpora keep enough buckets for recall math and the signature stays
+    int-addressable."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(n_rows, 1) / target_bucket + 1))))
+
+
+def auto_ivf_centroids(n_rows: int, lo: int = 16, hi: int = 65536) -> int:
+    """sqrt(n) coarse-quantizer size (the standard IVF rule: ~sqrt(n)
+    lists of ~sqrt(n) vectors balances probe cost against list scans),
+    clamped so the broadcast codebook stays contractually small."""
+    import math
+
+    return max(lo, min(hi, math.isqrt(max(n_rows, 1))))
+
+
 def embedding_near_dups_bucketed(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_bits: int = 4,
+    n_bits: int | None = 4,
     n_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
@@ -120,7 +142,14 @@ def embedding_near_dups_bucketed(
     pair at cosine c is 1-(1-p^b)^T with p = 1-acos(c)/π — at c≥0.9,
     b=4, T=8 that is >0.999 (pytest asserts ≥0.9 vs brute force).
     Cost: shuffle carries each vector n_tables times; per-bucket scoring is
-    quadratic only within a bucket (2^b buckets per table, tunable)."""
+    quadratic only within a bucket (2^b buckets per table, tunable).
+
+    ``n_bits=None`` derives the width from the corpus row count
+    (auto_lsh_bits: expected occupancy ~256) at the price of one count()
+    job at planning time; oracle-checked callers pass it explicitly so
+    the static SQL mirror stays in lockstep."""
+    if n_bits is None:
+        n_bits = auto_lsh_bits(embeddings.count())
     emb = embeddings.select("vec_id", "embedding")
     sig_cols = [
         hyperplane_signature(F.col("embedding"), n_bits, dim, salt=t + 1).alias(
@@ -283,16 +312,19 @@ def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_bits: int = 8,
+    n_bits: int | None = 8,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's bucket.
 
     Recall/cost dial: fewer bits -> bigger buckets -> higher recall, more
     compute. Bucket populations are ~uniform because hyperplanes are random.
+    ``n_bits=None`` derives the width from the corpus size (auto_lsh_bits).
     """
     from pyspark.sql.window import Window
 
+    if n_bits is None:
+        n_bits = auto_lsh_bits(embeddings.count())
     cand = embeddings.withColumn(
         "bucket", hyperplane_signature(F.col("embedding"), n_bits, dim)
     )
@@ -397,16 +429,20 @@ def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 4,
     iters: int = 2,
 ) -> DataFrame:
     """Approximate top-k: each query scores only vectors whose cell is among
     its ``nprobe`` nearest centroids. Recall/cost dial: nprobe/n_centroids.
     Join is an equi-join on centroid_id — bounded fan-out, no cross product.
+    ``n_centroids=None`` derives the codebook size from the corpus
+    (auto_ivf_centroids: ~sqrt(n) lists of ~sqrt(n) vectors).
     """
     from pyspark.sql.window import Window
 
+    if n_centroids is None:
+        n_centroids = auto_ivf_centroids(embeddings.count())
     centroids = ivf_build(embeddings, n_centroids, iters)
     cells = assign_ivf(embeddings, centroids)
 

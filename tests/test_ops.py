@@ -312,3 +312,42 @@ def test_lang_guess_accuracy_on_labeled_samples(spark):
     rows = df.select("label", lang_guess().alias("guess")).collect()
     wrong = [(r.label, r.guess) for r in rows if r.label != r.guess]
     assert len(wrong) <= 2, wrong  # >= 28/30 on clearly-marked sentences
+
+
+def test_adaptive_lsh_ivf_parameters():
+    """VERDICT r2 #8: n_bits / n_centroids derive from corpus row-count so
+    bucket occupancy stays bounded instead of hard-coded defaults."""
+    from esmarc_spark.ops.similarity import auto_ivf_centroids, auto_lsh_bits
+
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        bits = auto_lsh_bits(n, target_bucket=256)
+        occupancy = n / (1 << bits)
+        # expected occupancy within [target/4, 2*target] once past the
+        # lower clamp (tiny corpora keep the 4-bit floor for recall)
+        if bits > 4:
+            assert 64 <= occupancy <= 512, (n, bits, occupancy)
+        cents = auto_ivf_centroids(n)
+        if 16 < cents < 65536:
+            # ~sqrt(n) lists of ~sqrt(n) vectors
+            assert 0.5 <= (n / cents) / cents <= 2.0, (n, cents)
+    assert auto_lsh_bits(10) == 4          # lower clamp
+    assert auto_lsh_bits(10**12) == 24     # upper clamp
+    assert auto_ivf_centroids(10) == 16    # lower clamp
+    assert auto_ivf_centroids(10**12) == 65536
+
+
+def test_near_dups_bucketed_auto_bits(spark):
+    # n_bits=None derives from the corpus (one count job) and at small n
+    # lands on the explicit default, so results must be identical
+    from esmarc_spark.ops.similarity import embedding_near_dups_bucketed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dups_bucketed(emb, 0.35, n_bits=None).collect()
+    }
+    explicit = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dups_bucketed(emb, 0.35, n_bits=4).collect()
+    }
+    assert auto == explicit and auto

@@ -63,3 +63,48 @@ def test_salted_counts_match_naive(spark):
         for r in mentions.groupBy("canonical_url").count().collect()
     }
     assert salted == naive
+
+
+def test_cc_on_zipfian_giant_component(spark):
+    """VERDICT r2 #7: CC must stay correct AND well-behaved when one
+    component holds ~50% of all edges behind a single hub key. The star
+    collapses in ~2 rounds, so the hub graph must not be slower than the
+    uniform tail at equal edge count (the catastrophic-skew signature
+    would be the reverse by a wide margin); full decomposition lives in
+    scripts/bench_cc_skew.py -> BENCH/cc_skew.json."""
+    import time
+
+    from esmarc_spark.pipeline.canonicalize import connected_components
+
+    half = 50_000
+    hub = spark.range(half).select(
+        F.lit("https://hub.example/0").alias("src"),
+        F.concat(F.lit("https://star.example/"), F.col("id").cast("string")).alias("dst"),
+    )
+    tail = spark.range(half).select(
+        F.concat(F.lit("https://t/"), (F.col("id") % 20000).cast("string")).alias("src"),
+        F.concat(F.lit("https://t/"),
+                 ((F.col("id") * 48271 + 11) % 20000).cast("string")).alias("dst"),
+    )
+
+    t0 = time.time()
+    comp = connected_components(hub.union(tail)).cache()
+    n_nodes = comp.count()
+    zipf_sec = time.time() - t0
+    # correctness: every star node collapses onto the hub (the lexicographic
+    # min of its component), tail nodes never do
+    giant = comp.where(F.col("component") == "https://hub.example/0")
+    assert giant.count() == half + 1
+    assert n_nodes == half + 20_000 + 1
+    assert comp.where(
+        F.col("node").startswith("https://t/")
+        & (F.col("component") == "https://hub.example/0")
+    ).count() == 0
+    comp.unpersist()
+
+    t0 = time.time()
+    connected_components(tail).count()
+    tail_sec = time.time() - t0
+    # generous 3x guard band over the measured ~equal-or-faster behavior;
+    # a quadratic hub blowup would exceed it by an order of magnitude
+    assert zipf_sec <= 3 * max(tail_sec, 1.0), (zipf_sec, tail_sec)
