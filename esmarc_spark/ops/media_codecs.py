@@ -12,18 +12,31 @@ frame-sample run end-to-end on genuine bytes:
   ffmpeg emit for ``-f image2pipe``); frames are delimited by their own
   headers, so the stream is self-describing.
 
-JPEG/MP4/Opus would swap these functions for Pillow/ffmpeg bindings with
-the identical Arrow-batch plumbing in ops.multimodal — the plan does not
-change, only the codec body.
+Real-world formats (JPEG/PNG via Pillow, MP4/Ogg/MP3 via an ffmpeg
+binary) plug in through the sniffing decoders at the bottom
+(decode_image / decode_audio / decode_video_frames) as OPTIONAL
+dependencies: when the backend is importable the payload decodes for
+real; when it is not, the decoder raises a ValueError naming the missing
+dependency — the identical Arrow-batch plumbing in ops.multimodal either
+way, the plan does not change, only the codec body.
 """
 
 from __future__ import annotations
 
 import io
 import re
+import shutil
+import subprocess
 import wave
 
 import numpy as np
+
+try:  # optional: JPEG/PNG decode (absent in the dev sandbox)
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised via the sniffing tests
+    _PILImage = None
+
+_FFMPEG = shutil.which("ffmpeg")
 
 # ---------------------------------------------------------------------------
 # PPM (P6) images
@@ -109,3 +122,82 @@ def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
         frames.append(decode_ppm(payload[off:end]))
         off = end
     return frames
+
+# ---------------------------------------------------------------------------
+# format-sniffing decoders with optional real-world backends
+# (VERDICT r2 #2: Pillow / ffmpeg when importable, clear error otherwise)
+# ---------------------------------------------------------------------------
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff the payload and decode to (h, w, 3) uint8.
+
+    P6 decodes with the zero-dependency codec above; JPEG/PNG decode via
+    Pillow when installed, else raise a ValueError naming the missing
+    dependency (the Arrow batch surfaces it as a clean task error)."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(_JPEG_MAGIC) or payload.startswith(_PNG_MAGIC):
+        if _PILImage is None:
+            raise ValueError(
+                "JPEG/PNG payload but Pillow is not installed "
+                "(pip install Pillow on the cluster image)"
+            )
+        img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    raise ValueError("unrecognized image payload (not P6/JPEG/PNG)")
+
+
+def encode_image_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (requires Pillow)."""
+    if _PILImage is None:
+        raise ValueError("PNG encode requires Pillow")
+    buf = io.BytesIO()
+    _PILImage.fromarray(pixels, mode="RGB").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _ffmpeg_run(payload: bytes, args: list[str]) -> bytes:
+    if _FFMPEG is None:
+        raise ValueError(
+            "payload needs ffmpeg to decode (install ffmpeg on the "
+            "cluster image)"
+        )
+    proc = subprocess.run(
+        [_FFMPEG, "-v", "error", "-i", "pipe:0", *args, "pipe:1"],
+        input=payload,
+        capture_output=True,
+    )
+    if proc.returncode != 0:
+        raise ValueError(f"ffmpeg decode failed: {proc.stderr[-500:]!r}")
+    return proc.stdout
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Sniff + decode to (sample_rate, int16 mono). RIFF/WAV via the
+    stdlib codec; Ogg(Opus/Vorbis)/MP3/M4A via ffmpeg when present."""
+    if payload.startswith(b"RIFF"):
+        return decode_wav(payload)
+    if payload[:4] in (b"OggS", b"fLaC") or payload[:3] == b"ID3" or (
+        len(payload) > 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        out = _ffmpeg_run(payload, ["-f", "wav", "-ac", "1"])
+        return decode_wav(out)
+    raise ValueError("unrecognized audio payload (not WAV/Ogg/FLAC/MP3)")
+
+
+def decode_video_frames(payload: bytes) -> list[np.ndarray]:
+    """Sniff + decode to a list of (h, w, 3) uint8 frames. PPM streams via
+    the zero-dependency codec; MP4/WebM/MKV via ffmpeg's image2pipe.
+    A zero-length payload is a valid-but-empty stream (callers guard)."""
+    if not payload or payload.startswith(b"P6"):
+        return decode_ppm_stream(payload)
+    if len(payload) > 12 and (
+        payload[4:8] == b"ftyp" or payload[:4] == b"\x1a\x45\xdf\xa3"
+    ):
+        out = _ffmpeg_run(payload, ["-f", "image2pipe", "-vcodec", "ppm"])
+        return decode_ppm_stream(out)
+    raise ValueError("unrecognized video payload (not PPM-stream/MP4/WebM)")

@@ -6,8 +6,11 @@ signatures — is real and tested. Round 2 adds REAL codecs
 stdlib+numpy only) behind ``synth_media_real`` / ``decode_features`` /
 ``resize_images`` / ``sample_video_frames``; the round-1 header-stub path
 (``decode_image_stub``) is kept for the driver's synthetic-header table.
-Exotic formats (JPEG/MP4/Opus) would swap the codec bodies for
-Pillow/ffmpeg with the identical plan.
+Real-world formats route through the format-sniffing decoders
+(media_codecs.decode_image/_audio/_video_frames): JPEG/PNG decode via
+Pillow and MP4/Ogg/MP3 via ffmpeg WHEN those optional dependencies are
+present on the cluster image, with a clear ValueError naming the missing
+backend otherwise — the plan is identical either way.
 
 Design points for 100 TB of media:
   * media rows are (id, modality, media binary, meta struct); the binary
@@ -263,21 +266,21 @@ def decode_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
 
     def feats(modality: str, payload: bytes):
         if modality == "image":
-            px = C.decode_ppm(payload)
+            px = C.decode_image(payload)
             h, w, _ = px.shape
             v = [px[..., c].mean() / 255.0 for c in range(3)] + [
                 px[..., c].std() / 255.0 for c in range(3)
             ]
             return w, h, 1, 0, 0, v
         if modality == "audio":
-            rate, s = C.decode_wav(payload)
+            rate, s = C.decode_audio(payload)
             dur_ms = int(len(s) * 1000 / rate)
             x = s.astype(np.float64) / 32768.0
             rms = float(np.sqrt((x**2).mean())) if len(x) else 0.0
             peak = float(np.abs(x).max()) if len(x) else 0.0
             zcr = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
             return 0, 0, 0, rate, dur_ms, [rms, peak, zcr]
-        frames = C.decode_ppm_stream(payload)
+        frames = C.decode_video_frames(payload)
         if not frames:
             # a zero-length payload is a valid-but-empty stream; without
             # this the frames[0] below would IndexError inside the Arrow
@@ -337,7 +340,7 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
         for pdf in batches:
             ids, blobs = [], []
             for media_id, payload in zip(pdf["media_id"], pdf["media"]):
-                px = C.resize_nearest(C.decode_ppm(bytes(payload)), out_w, out_h)
+                px = C.resize_nearest(C.decode_image(bytes(payload)), out_w, out_h)
                 ids.append(media_id)
                 blobs.append(C.encode_ppm(px))
             yield pd.DataFrame(
@@ -363,7 +366,7 @@ def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
         for pdf in batches:
             ids, idxs, blobs = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["media"]):
-                for i, frame in enumerate(C.decode_ppm_stream(bytes(payload))):
+                for i, frame in enumerate(C.decode_video_frames(bytes(payload))):
                     if i % every == 0:
                         ids.append(media_id)
                         idxs.append(i)
