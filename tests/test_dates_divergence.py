@@ -1,0 +1,74 @@
+"""dateparser-divergence gate (VERDICT r2 #5).
+
+The reference shells out to the ``dateparser`` package
+(/root/reference/esmarc/dates.py:94-126); mapping/dates.py implements a
+deterministic subset. This module bounds the divergence on a corpus
+(tests/golden/date_corpus.json, scripts/gen_date_corpus.py):
+
+* always-on gate: our parser vs the vendored expectations for shapes
+  whose dateparser behavior is unambiguous — <2% disagreement;
+* live gate (runs wherever ``dateparser`` is installed — NOT this
+  sandbox): the actual package side-by-side over the whole corpus,
+  same bound on the determinate subset, fuzzy-shape outcomes reported.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from esmarc_spark.mapping.dates import REFERENCE_TODAY_YEAR, parse_fuzzy_date
+
+CORPUS = json.load(open("/root/repo/tests/golden/date_corpus.json"))
+
+
+def test_determinate_corpus_divergence_under_2pct():
+    determinate = [e for e in CORPUS if e["expect"] != "unknown"]
+    assert len(determinate) >= 150  # corpus must stay substantive
+    wrong = []
+    for e in determinate:
+        got = parse_fuzzy_date(e["raw"])
+        want = tuple(e["expect"]) if e["expect"] else None
+        if got != want:
+            wrong.append((e["raw"], got, want))
+    rate = len(wrong) / len(determinate)
+    assert rate < 0.02, (rate, wrong[:10])
+
+
+def test_live_dateparser_side_by_side():
+    dateparser = pytest.importorskip("dateparser")
+    if getattr(dateparser, "__file__", None) is None:
+        # test_reference_oracle installs an in-memory shim module for the
+        # reference imports; only the REAL installed package qualifies
+        pytest.skip("only the dateparser shim is present, not the package")
+
+    ddp = dateparser.date.DateDataParser()
+    fmt = {"year": "%Y", "month": "%Y-%m", "day": "%Y-%m-%d",
+           "week": "%Y-%m", "time": "%Y-%m-%d"}
+    gran = {"year": "year", "month": "month", "day": "day",
+            "week": "month", "time": "day"}
+
+    def ref_parse(raw: str):
+        # the reference's inner non-range path (dates.py:109-126)
+        d = ddp.get_date_data(raw.lower())
+        parsed = d.date_obj
+        if (parsed and int(parsed.strftime("%Y")) < REFERENCE_TODAY_YEAR
+                and len(parsed.strftime("%Y")) == 4):
+            return parsed.strftime(fmt[d.period]), gran[d.period]
+        return None
+
+    det_wrong, fuzzy_diff = [], []
+    n_det = 0
+    for e in CORPUS:
+        ours, theirs = parse_fuzzy_date(e["raw"]), ref_parse(e["raw"])
+        if e["expect"] != "unknown":
+            n_det += 1
+            if ours != theirs:
+                det_wrong.append((e["raw"], ours, theirs))
+        elif ours != theirs:
+            fuzzy_diff.append((e["raw"], ours, theirs))
+    rate = len(det_wrong) / max(n_det, 1)
+    print(f"live dateparser divergence: determinate {rate:.3f}, "
+          f"fuzzy diffs {len(fuzzy_diff)}: {fuzzy_diff[:20]}")
+    assert rate < 0.02, (rate, det_wrong[:10])
