@@ -104,18 +104,33 @@ def stopword_ratio_sql(stopwords: list[str] | None = None) -> str:
     )
 
 
-def lang_vote_counts(toks: Column) -> dict[str, Column]:
-    """Per-language stopword vote counts over lowercased tokens — one
-    ``size(filter(isin))`` per language, all codegen, map-only."""
-    low = F.transform(toks, F.lower)
+def _member_of(sw: tuple[str, ...]):
+    # closure factory: a default-arg lambda would be read by the HOF
+    # machinery as a second lambda variable
+    return lambda t: t.isin(*sw)
 
-    def member_of(sw: tuple[str, ...]):
-        # closure factory: a default-arg lambda would be read by the HOF
-        # machinery as a second lambda variable
-        return lambda t: t.isin(*sw)
 
+def stopword_candidates(toks: Column) -> Column:
+    """Lowercase + one union-set probe per token: only tokens that are a
+    stopword in SOME dim language survive (most tokens aren't), so the 15
+    per-language probes downstream touch a small array. Hoist this into
+    its own column when voting inside a wide projection — re-inlining it
+    per language balloons the codegen unit."""
+    union = tuple(sorted({w for sw in STOPWORDS.values() for w in sw}))
+    return F.filter(F.transform(toks, F.lower), _member_of(union))
+
+
+def lang_vote_counts(
+    toks: Column, prefiltered: bool = False
+) -> dict[str, Column]:
+    """Per-language stopword vote counts — one ``size(filter(isin))`` per
+    language over the union-prefiltered candidates, all codegen, map-only.
+    Counts are unchanged by the prefilter: every language's words are in
+    the union. Pass ``prefiltered=True`` when ``toks`` already IS a
+    stopword_candidates column."""
+    cand = toks if prefiltered else stopword_candidates(toks)
     return {
-        lang: F.size(F.filter(low, member_of(STOPWORDS[lang])))
+        lang: F.size(F.filter(cand, _member_of(STOPWORDS[lang])))
         for lang in LANG_PRIORITY
     }
 
@@ -235,11 +250,17 @@ def text_stats(documents: DataFrame) -> DataFrame:
     toks = F.col("_toks")
     n = F.size(toks)
     stops = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP)))
-    votes = lang_vote_counts(toks)
+    votes = lang_vote_counts(F.col("_stoks"), prefiltered=True)
     staged = documents.select(
         "doc_id", "text", tokens_col().alias("_toks")
-    ).select(  # vote stage: one named count column per language, so the
-        # 15 isin-filters land in their own codegen unit
+    ).select(
+        "doc_id",
+        "text",
+        "_toks",
+        stopword_candidates(toks).alias("_stoks"),
+    ).select(  # vote stage: one named count column per language over the
+        # lowered, union-prefiltered candidate tokens — the 15 isin
+        # filters get their own codegen unit and a small input array
         "doc_id",
         "text",
         "_toks",
