@@ -104,33 +104,42 @@ def stopword_ratio_sql(stopwords: list[str] | None = None) -> str:
     )
 
 
-def _member_of(sw: tuple[str, ...]):
-    # closure factory: a default-arg lambda would be read by the HOF
-    # machinery as a second lambda variable
-    return lambda t: t.isin(*sw)
+def _in_list_sql(sw: tuple[str, ...]) -> str:
+    return ", ".join("'" + w + "'" for w in sw)
 
 
-def stopword_candidates(toks: Column) -> Column:
+_STOPWORD_UNION = tuple(sorted({w for sw in STOPWORDS.values() for w in sw}))
+
+
+def stopword_candidates(toks_sql: str) -> Column:
     """Lowercase + one union-set probe per token: only tokens that are a
     stopword in SOME dim language survive (most tokens aren't), so the 15
     per-language probes downstream touch a small array. Hoist this into
     its own column when voting inside a wide projection — re-inlining it
-    per language balloons the codegen unit."""
-    union = tuple(sorted({w for sw in STOPWORDS.values() for w in sw}))
-    return F.filter(F.transform(toks, F.lower), _member_of(union))
+    per language balloons the codegen unit.
+
+    Takes a SQL fragment (column name or expression) and builds the whole
+    thing via F.expr: the ~450 union literals parse JVM-side in ONE py4j
+    call — constructing them as python Column literals costs ~1ms of py4j
+    round-trip EACH (measured ~2.8s of pure driver-side plan-build for
+    the vote family before this)."""
+    return F.expr(
+        f"filter(transform({toks_sql}, t -> lower(t)), "
+        f"t -> t IN ({_in_list_sql(_STOPWORD_UNION)}))"
+    )
 
 
-def lang_vote_counts(
-    toks: Column, prefiltered: bool = False
-) -> dict[str, Column]:
-    """Per-language stopword vote counts — one ``size(filter(isin))`` per
-    language over the union-prefiltered candidates, all codegen, map-only.
-    Counts are unchanged by the prefilter: every language's words are in
-    the union. Pass ``prefiltered=True`` when ``toks`` already IS a
-    stopword_candidates column."""
-    cand = toks if prefiltered else stopword_candidates(toks)
+def lang_vote_counts(cand_sql: str) -> dict[str, Column]:
+    """Per-language stopword vote counts — one ``size(filter(... IN))``
+    per language over the union-prefiltered candidates (a SQL fragment,
+    e.g. the name of a stopword_candidates column), all codegen,
+    map-only. Counts are unchanged by the prefilter: every language's
+    words are in the union."""
     return {
-        lang: F.size(F.filter(cand, _member_of(STOPWORDS[lang])))
+        lang: F.expr(
+            f"size(filter({cand_sql}, "
+            f"t -> t IN ({_in_list_sql(STOPWORDS[lang])})))"
+        )
         for lang in LANG_PRIORITY
     }
 
@@ -145,10 +154,14 @@ def lang_from_votes(counts: dict[str, Column]) -> Column:
     return w.otherwise(F.lit("und"))
 
 
-def lang_guess(text: Column | str = "text") -> Column:
+def lang_guess(text: str = "text") -> Column:
     """Stopword-vote language ID over the 15-language dim
-    (lookups.stopwords) — the production rendering of the round-1 toy."""
-    return lang_from_votes(lang_vote_counts(tokens_col(text)))
+    (lookups.stopwords) — the production rendering of the round-1 toy.
+    ``text`` is a column name / SQL fragment (the vote family is built
+    via F.expr, see stopword_candidates)."""
+    cand = f"filter(transform(split({text}, ' '), t -> lower(t)), " \
+           f"t -> t IN ({_in_list_sql(_STOPWORD_UNION)}))"
+    return lang_from_votes(lang_vote_counts(cand))
 
 
 def _sw_inlist(lang: str) -> str:
@@ -250,14 +263,14 @@ def text_stats(documents: DataFrame) -> DataFrame:
     toks = F.col("_toks")
     n = F.size(toks)
     stops = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP)))
-    votes = lang_vote_counts(F.col("_stoks"), prefiltered=True)
+    votes = lang_vote_counts("_stoks")
     staged = documents.select(
         "doc_id", "text", tokens_col().alias("_toks")
     ).select(
         "doc_id",
         "text",
         "_toks",
-        stopword_candidates(toks).alias("_stoks"),
+        stopword_candidates("_toks").alias("_stoks"),
     ).select(  # vote stage: one named count column per language over the
         # lowered, union-prefiltered candidate tokens — the 15 isin
         # filters get their own codegen unit and a small input array
@@ -280,9 +293,10 @@ def text_stats(documents: DataFrame) -> DataFrame:
             ROUND_N,
         ).alias("mean_token_len"),
         F.round(stops.cast("double") / n, ROUND_N).alias("stopword_ratio"),
-        lang_from_votes(
-            {l: F.col(f"_lc_{l}") for l in LANG_PRIORITY}
-        ).alias("lang_guess"),
+        # the same CASE the DuckDB oracle runs — Spark parses it
+        # identically, and ONE F.expr beats ~30 py4j when()/greatest()
+        # round-trips (measured 1.2s of pure driver time)
+        F.expr(lang_guess_multi_case_sql()).alias("lang_guess"),
         lang_guess_ngram().alias("lang_guess_ngram"),
         fingerprint().alias("fingerprint"),
     )
