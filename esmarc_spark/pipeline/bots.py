@@ -615,9 +615,14 @@ def _wpcat_merge(doc: dict, links_json: str) -> dict | None:
     for _id in [x["@id"] for x in doc["sameAs"]]:
         if "wikipedia" not in _id:
             continue
-        seg = _id.split("/")[-1]
+        parts = _id.split("/")
+        if len(parts) < 4:
+            # malformed link: skipped plan-side too (the reference
+            # IndexErrors here — robustness divergence, see caller)
+            continue
+        seg = parts[-1]
         wp_title = urllib.parse.unquote(seg)
-        cc = _id.split("/")[2].split(".")[0]
+        cc = parts[2].split(".")[0]
         pages = by_link.get((cc, wp_title)) or by_link.get((cc, seg))
         if not pages:
             return None
@@ -648,7 +653,15 @@ def enrich_wikipedia_categories(
     percent-escape; the reference's ``unquote`` leaves such segments as-is,
     so fall back to the raw segment (the merge lookup tries both)."""
     ids = same_as_ids(F.col("doc"))
-    wps = F.filter(ids, lambda i: i.contains("wikipedia"))
+    # >=4 slash parts so the cc (part 3) and title (last part) segments
+    # exist: a malformed id containing "wikipedia" would ANSI-abort the
+    # element_at below — the reference crashes outright on such ids
+    # (wikipedia_categories.py:38-39 IndexError); we skip them instead
+    # (documented robustness divergence, mirrored in _wpcat_merge)
+    wps = F.filter(
+        ids,
+        lambda i: i.contains("wikipedia") & (F.size(F.split(i, "/")) >= 4),
+    )
     links = F.transform(
         wps,
         lambda i: F.struct(
@@ -721,7 +734,10 @@ def _gn_merge(doc: dict, candidates_json: str) -> dict | None:
     objects, so it only ever skips records whose sameAs carries plain
     strings (ref :51); `len(records) == 1` reads a list that is never
     appended to, i.e. always False (ref :58) — both preserved."""
-    if any("http://www.geonames.org" in s for s in doc.get("sameAs")):
+    # `or []`: a record with geo coordinates but no sameAs at all would
+    # TypeError here (the reference crashes the same way, geonames.py:51
+    # iterating None — robustness divergence); it proceeds to be enriched
+    if any("http://www.geonames.org" in s for s in doc.get("sameAs") or []):
         return None
     changed = False
     for record in json.loads(candidates_json):

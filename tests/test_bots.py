@@ -571,3 +571,48 @@ def test_wpcat_multi_link_parity(spark, fake_requests):
     )
     ours = _out_docs(enrich_wikipedia_categories(records, pages))
     assert ours == {"r1": theirs}
+
+
+def test_wpcat_malformed_link_does_not_abort(spark, fake_requests):
+    # a sameAs id containing "wikipedia" with too few slash parts used to
+    # ANSI-abort the whole job at the element_at(split, 3); the reference
+    # IndexErrors on it — we skip the malformed link (documented
+    # divergence) and still enrich via the valid one
+    ref = _load_ref("wikipedia_categories", fake_requests)
+    fake_requests.routes = [
+        ("de.wikipedia.org/w/api.php", {"query": {"pages": copy.deepcopy(WP_PAGES)}}),
+    ]
+    theirs = ref.get_wpcategories(_wpcat_record())  # valid link only
+
+    from esmarc_spark.pipeline.bots import enrich_wikipedia_categories
+
+    rec = _wpcat_record()
+    rec["sameAs"].append({"@id": "wikipedia", "publisher": {"abbr": "junk"}})
+    records = _docs_df(spark, {"r1": rec})
+    pages = spark.createDataFrame(
+        [("de", "Dresden", int(pid), d["title"]) for pid, d in WP_PAGES.items()],
+        "cc string, wp_title string, page_id long, page_title string",
+    )
+    ours = _out_docs(enrich_wikipedia_categories(records, pages))
+    assert set(ours) == {"r1"}
+    # categories identical to the reference's valid-link-only outcome
+    assert ours["r1"]["category"] == theirs["category"]
+
+
+def test_geonames_record_without_sameas(spark):
+    # geo coordinates but no sameAs key: the reference TypeErrors
+    # iterating None (geonames.py:51); we enrich it (creating sameAs)
+    from esmarc_spark.pipeline.bots import enrich_geonames
+
+    rec = _gn_record()
+    del rec["sameAs"]
+    records = _docs_df(spark, {"r1": rec})
+    geonames = spark.createDataFrame(
+        GEONAMES_FIXTURE,
+        "id string, name string, alternate_names array<string>, lat double, lon double",
+    )
+    out = _out_docs(enrich_geonames(records, geonames))
+    assert set(out) == {"r1"}
+    gn = [s["@id"] for s in out["r1"]["sameAs"]]
+    assert gn == ["https://sws.geonames.org/2935022/",
+                  "https://sws.geonames.org/2935023/"]
