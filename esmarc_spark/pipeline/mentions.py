@@ -89,8 +89,14 @@ def detect_mentions(webtext: DataFrame, surface_forms: list[str]) -> DataFrame:
 
 
 def _tokens_base(webtext: DataFrame, extra_cols: tuple[str, ...]) -> DataFrame:
-    toks = F.split(F.regexp_replace(F.col("text"), r"(^\W+|\W+$)", ""), " ")
-    clean = F.transform(toks, lambda t: F.regexp_replace(t, r"(^\W+|\W+$)", ""))
+    # [^\p{L}\p{N}_] instead of \W: Java's \W is ASCII-only, which silently
+    # strips edge umlauts/accents ("Österreich" -> "sterreich") and breaks
+    # Unicode surface forms; \p{L}/\p{N} are Unicode-aware in both Java
+    # regex and RE2, keeping the JVM path aligned with the Python regex
+    # detector (whose \w IS Unicode-aware)
+    _nw = r"[^\p{L}\p{N}_]+"
+    toks = F.split(F.regexp_replace(F.col("text"), f"(^{_nw}|{_nw}$)", ""), " ")
+    clean = F.transform(toks, lambda t: F.regexp_replace(t, f"(^{_nw}|{_nw}$)", ""))
     return webtext.where(F.col("text").isNotNull()).select(
         "url", "lang", *extra_cols, clean.alias("_toks")
     )
@@ -386,7 +392,10 @@ def detect_mentions_tokenized(webtext: DataFrame, gazetteer: DataFrame) -> DataF
         "url",
         "lang",
         F.posexplode(F.split(F.col("text"), " ")).alias("position", "raw_token"),
-    ).withColumn("token", F.regexp_replace("raw_token", r"^\W+|\W+$", ""))
+    ).withColumn(
+        "token",
+        F.regexp_replace("raw_token", r"^[^\p{L}\p{N}_]+|[^\p{L}\p{N}_]+$", ""),
+    )
     surfaces = gazetteer.select("surface_form").distinct()
     return (
         tokens.join(

@@ -72,3 +72,24 @@ def test_live_dateparser_side_by_side():
     print(f"live dateparser divergence: determinate {rate:.3f}, "
           f"fuzzy diffs {len(fuzzy_diff)}: {fuzzy_diff[:20]}")
     assert rate < 0.02, (rate, det_wrong[:10])
+
+
+def test_parse_fuzzy_date_never_raises():
+    """Hypothesis fuzz: arbitrary junk must parse to a result or None —
+    never raise (a throwing parser inside an Arrow batch fails the whole
+    task)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from esmarc_spark.mapping.dates import date_to_event
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=40))
+    def check(s):
+        for event in ("startDate", "endDate"):
+            out = date_to_event(s, event)
+            assert out is None or isinstance(out, str)
+        r = parse_fuzzy_date(s)
+        assert r is None or (isinstance(r, tuple) and len(r) == 2)
+
+    check()

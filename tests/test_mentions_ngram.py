@@ -270,3 +270,27 @@ def test_regex_path_broadcast_gazetteer_at_scale(spark):
         for r in detect_mentions(docs, surfaces).collect()
     }
     assert out == {("u1", "entity42 name", 0), ("u1", "Dresden", 24)}
+
+
+def test_ngram_adversarial_text(spark):
+    # punctuation-only, unicode, and whitespace-weird docs must not break
+    # either physical path, and both must agree
+    docs = _docs(
+        spark,
+        [
+            ("u1", "!!! ??? ...", "en"),
+            ("u2", "Dresden, (Dresden) »Dresden«", "de"),
+            ("u3", "   ", "de"),
+            ("u4", "ünïcödé Dresden ünïcödé", "de"),
+            ("u5", "", "de"),
+        ],
+    )
+    gaz = _gaz(spark, ["Dresden", "ünïcödé"])
+    a = {tuple(r) for r in detect_mentions_ngram(docs, gaz).collect()}
+    b = {
+        tuple(r)
+        for r in detect_mentions_ngram(docs, gaz, max_inline_surfaces=0).collect()
+    }
+    assert a == b
+    assert ("u2", "Dresden", 0, "de") in a  # edge punctuation stripped
+    assert ("u4", "ünïcödé", 0, "de") in a
