@@ -95,27 +95,57 @@ def base_hash32(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+# polynomial-combine multiplier for hashed shingles; all intermediates
+# stay < 2^52, far from int64 overflow (ANSI mode would throw on wrap)
+SHINGLE_A = 1_000_003
+
+
+def _shingle_hashes(th: F.Column, k: int) -> F.Column:
+    """Shingle hashes WITHOUT building shingle strings: combine k
+    consecutive per-token hashes with a polynomial rolling hash mod
+    Mersenne-31. Hashing concat_ws shingle STRINGS (the r1/r2 design) was
+    measured 12.7x slower at sf0.1 — string materialization plus md5 over
+    ~25-byte strings dominated the whole LSH stage; per-token md5 runs
+    once per TOKEN (not per shingle) and the combine is pure integer
+    codegen."""
+    n = F.size(th)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def comb(i: F.Column) -> F.Column:
+        h = F.element_at(th, i)
+        for j in range(1, k):
+            h = (h * SHINGLE_A + F.element_at(th, (i + j).cast("int"))) % MINHASH_P
+        return h
+
+    return F.transform(idx, comb)
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 16, shingle_k: int = 3
 ) -> DataFrame:
     """doc_id + mh_0..mh_{n-1} min-hash columns.
 
-    Physical shape chosen for scale: ONE md5 per shingle computed IN-ARRAY
-    (the explode then carries longs, not shingle strings — row-copying 2M
-    ~25-byte strings through the explode cost ~13% at sf0.1) -> num_hashes
-    affine transforms (pure integer codegen) -> groupBy(doc_id) with
-    map-side partial min, so the shuffle carries one row per doc.
-    Docs with < shingle_k tokens have no shingles and drop out (same on the
-    oracle side).
+    Physical shape chosen for scale: ONE md5 per TOKEN, shingle hashes
+    derived in-array by integer polynomial combine (_shingle_hashes — the
+    explode carries longs, never shingle strings) -> num_hashes affine
+    transforms (pure integer codegen) -> groupBy(doc_id) with map-side
+    partial min, so the shuffle carries one row per doc. Docs with
+    < shingle_k tokens have no shingles and drop out (same on the oracle
+    side; exact Jaccard verification still uses string shingles — it only
+    runs on candidate pairs).
 
     Measured non-wins (round 2, sf0.1/32c, keep for posterity): a map-only
-    variant folding 16-wide min arrays in-array was 1.8x SLOWER (7.0s vs
-    3.9s — nested array materialization beats the explode it avoids), and
-    xxhash64 instead of md5 saves only ~10% (the hash is not the
-    bottleneck; shingle construction is).
+    variant folding 16-wide min arrays in-array was 1.8x SLOWER (nested
+    array materialization beats the explode it avoids), and xxhash64
+    instead of md5 saved only ~10%. The round-3 win was eliminating the
+    shingle STRINGS (12.7x on the hashing stage), not the hash function.
     """
-    hs = F.transform(shingles_col(k=shingle_k), lambda x: base_hash32(x))
-    sh = documents.select("doc_id", F.explode(hs).alias("h"))
+    th = F.transform(tokens_col(), lambda t: base_hash32(t))
+    sh = documents.select("doc_id", th.alias("_th")).select(
+        "doc_id", F.explode(_shingle_hashes(F.col("_th"), shingle_k)).alias("h")
+    )
     aggs = [
         F.min(
             (F.lit(_mh_a(i)) * F.col("h") + F.lit(_mh_b(i))) % F.lit(MINHASH_P)
@@ -272,9 +302,18 @@ def _shingles_sql(k: int = 3) -> str:
     )
 
 
+def _shingle_hashes_sql(k: int = 3) -> str:
+    """DuckDB mirror of _shingle_hashes: polynomial combine of k
+    consecutive per-token hashes (th), mod Mersenne-31."""
+    expr = "th[i]"
+    for j in range(1, k):
+        expr = f"(({expr}) * {SHINGLE_A} + th[i+{j}]) % {MINHASH_P}"
+    return f"list_transform(range(1, len(th) - {k - 2}), i -> {expr})"
+
+
 def minhash_sql(num_hashes: int = 16, shingle_k: int = 3) -> str:
     """Per-doc minhash signature columns mh_0..mh_{n-1} (same universal-hash
-    family as minhash_signatures)."""
+    family and hashed-shingle construction as minhash_signatures)."""
     cols = ",\n       ".join(
         f"min(({_mh_a(i)} * h + {_mh_b(i)}) % {MINHASH_P}) AS mh_{i}"
         for i in range(num_hashes)
@@ -283,10 +322,11 @@ def minhash_sql(num_hashes: int = 16, shingle_k: int = 3) -> str:
 SELECT doc_id,
        {cols}
 FROM (
-  SELECT doc_id,
-         cast('0x' || substr(md5(unnest(sh)), 1, 8) AS bigint) AS h
-  FROM (SELECT doc_id, {_shingles_sql(shingle_k)} AS sh
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+  SELECT doc_id, unnest({_shingle_hashes_sql(shingle_k)}) AS h
+  FROM (SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              t -> cast('0x' || substr(md5(t), 1, 8) AS bigint)) AS th
+        FROM documents)
 )
 GROUP BY doc_id
 """
