@@ -56,41 +56,49 @@ def linked_to_triples(linked: DataFrame, source_index: str = "webtext") -> DataF
         *[F.lit(x) for kv in _SCHEMA_CLASS.items() for x in kv]
     )
 
-    pages = linked.select("url").distinct()
-    page_type = pages.select(
-        F.col("url").alias("subj"),
-        F.lit("@type").alias("pred"),
-        F.lit("http://schema.org/CreativeWork").alias("obj"),
-    )
-    page_prov = pages.select(
-        F.col("url").alias("subj"),
-        F.lit("isBasedOn").alias("pred"),
-        F.concat(F.lit(f"{TARGET_ID}source/{source_index}/"), F.col("url")).alias("obj"),
+    # each aggregated relation is scanned ONCE and fans out its shapes via
+    # an in-row explode — per-shape selects would re-run the distinct /
+    # groupBy shuffle once per shape (measured: 6 scans + 5 shuffles for
+    # the same triple set)
+    def fan_out(rel: DataFrame, subj: F.Column, shapes: list[tuple]) -> DataFrame:
+        po = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(pred).alias("pred"), obj.alias("obj"))
+                    for pred, obj in shapes
+                ]
+            )
+        )
+        return rel.select(subj.alias("subj"), po.alias("_po")).select(
+            "subj", F.col("_po.pred").alias("pred"), F.col("_po.obj").alias("obj")
+        )
+
+    page_shapes = fan_out(
+        linked.select("url").distinct(),
+        F.col("url"),
+        [
+            ("@type", F.lit("http://schema.org/CreativeWork")),
+            (
+                "isBasedOn",
+                F.concat(F.lit(f"{TARGET_ID}source/{source_index}/"), F.col("url")),
+            ),
+        ],
     )
     page_mentions = linked.select(
         F.col("url").alias("subj"),
         F.lit("mentions").alias("pred"),
         entity_id.alias("obj"),
     ).distinct()
-
-    entities = (
-        linked.groupBy("entity_type", "authority_id", "canonical_url")
-        .agg(F.min("surface_form").alias("preferred_name"))
-    )
-    entity_type_triples = entities.select(
-        entity_id.alias("subj"),
-        F.lit("@type").alias("pred"),
-        schema_class[F.col("entity_type")].alias("obj"),
-    )
-    entity_same_as = entities.select(
-        entity_id.alias("subj"),
-        F.lit("sameAs").alias("pred"),
-        F.col("canonical_url").alias("obj"),
-    )
-    entity_name = entities.select(
-        entity_id.alias("subj"),
-        F.lit("preferredName").alias("pred"),
-        F.col("preferred_name").alias("obj"),
+    entity_shapes = fan_out(
+        linked.groupBy("entity_type", "authority_id", "canonical_url").agg(
+            F.min("surface_form").alias("preferred_name")
+        ),
+        entity_id,
+        [
+            ("@type", schema_class[F.col("entity_type")]),
+            ("sameAs", F.col("canonical_url")),
+            ("preferredName", F.col("preferred_name")),
+        ],
     )
 
     # no outer distinct: every shape is internally distinct (pages are
@@ -98,13 +106,7 @@ def linked_to_triples(linked: DataFrame, source_index: str = "webtext") -> DataF
     # and the shapes can't collide across the union (disjoint pred/subj
     # combinations) — a global distinct here would shuffle every triple for
     # nothing, which at 10^12 docs is the single biggest avoidable shuffle.
-    return (
-        page_type.unionAll(page_prov)
-        .unionAll(page_mentions)
-        .unionAll(entity_type_triples)
-        .unionAll(entity_same_as)
-        .unionAll(entity_name)
-    )
+    return page_shapes.unionAll(page_mentions).unionAll(entity_shapes)
 
 
 def sink_triples(
