@@ -162,12 +162,37 @@ DOCS_SCHEMA = "record_id string, entity string, doc string"
 TRIPLES_SCHEMA = "entity string, subj string, pred string, obj string"
 
 
+ERROR_ENTITY = "__error__"
+
+
 def mapped_docs_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas stage: (record_id, marc_json) -> (record_id, entity, doc)."""
+    """mapInPandas stage: (record_id, marc_json) -> (record_id, entity, doc).
+
+    Record-level fault isolation: a malformed record whose extraction
+    raises (crash-parity cases — e.g. a repeated 245 $a list hitting the
+    reference's ``+=`` at namings.py:147, or a non-dict subfield cell)
+    quarantines into the ``__error__`` entity with the exception as its
+    doc, instead of killing the task. Routed through the per-entity LDJ
+    sink this IS the reference's errors.txt channel (esmarc.py:320-322);
+    one bad record in 10^12 must not abort the job the way it aborts the
+    reference's process."""
     for pdf in batches:
         rows = []
         for record_id, raw in zip(pdf["record_id"], pdf["marc_json"]):
-            mapped = map_record(json.loads(raw))
+            try:
+                mapped = map_record(json.loads(raw))
+            except Exception as e:  # noqa: BLE001 - quarantine, never abort
+                rows.append(
+                    (
+                        record_id,
+                        ERROR_ENTITY,
+                        json.dumps(
+                            {"error": f"{type(e).__name__}: {e}"},
+                            ensure_ascii=False,
+                        ),
+                    )
+                )
+                continue
             if mapped is not None:
                 entity, doc = mapped
                 rows.append((record_id, entity, json.dumps(doc, sort_keys=True, ensure_ascii=False)))
@@ -175,11 +200,21 @@ def mapped_docs_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 
 def triples_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas stage: (record_id, marc_json) -> (entity, subj, pred, obj)."""
+    """mapInPandas stage: (record_id, marc_json) -> (entity, subj, pred, obj).
+
+    Same record-level fault isolation as mapped_docs_batches; the triple
+    stream has no error channel, so a failing record contributes nothing
+    here (run the docs stage to enumerate quarantined records)."""
     for pdf in batches:
         rows = []
         for raw in pdf["marc_json"]:
-            rows.extend(record_to_triples(json.loads(raw)))
+            try:
+                # materialize BEFORE extending: a generator failing
+                # mid-iteration must not leave a half-emitted record
+                out = list(record_to_triples(json.loads(raw)))
+            except Exception:  # noqa: BLE001 - quarantine, never abort
+                continue
+            rows.extend(out)
         yield pd.DataFrame(rows, columns=["entity", "subj", "pred", "obj"])
 
 

@@ -72,3 +72,71 @@ def test_spark_map_in_pandas(spark):
     for rid in ALL_IDS:
         _, local_doc = map_record(load_fixture_record(rid))
         assert out[rid] == json.loads(json.dumps(local_doc, sort_keys=True))
+
+
+def test_batch_stages_quarantine_bad_records():
+    """Hypothesis fuzz over MARC-shaped junk through the BATCH stages:
+    map_record itself keeps crash-parity with the reference on malformed
+    occurrences (e.g. a repeated 245 $a list hits the same += TypeError
+    as namings.py:147), but the Arrow batch stages must quarantine such
+    records into the __error__ entity (docs) or skip them (triples) —
+    never abort the task. Shapes: wrong-typed field values, garbage 079
+    dispatch, half-formed occurrence maps, unicode keys."""
+    import json
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from esmarc_spark.mapping.engine import (
+        ERROR_ENTITY,
+        mapped_docs_batches,
+        triples_batches,
+    )
+
+    leader = st.one_of(
+        st.none(), st.text(max_size=6), st.integers(),
+        st.lists(st.text(max_size=3), max_size=2),
+    )
+    subcell = st.dictionaries(
+        st.sampled_from(["a", "b", "0", "4", "9", "i", "\u00fc"]),
+        st.one_of(st.none(), st.text(max_size=8), st.integers(),
+                  st.lists(st.text(max_size=5), max_size=3)),
+        max_size=3,
+    )
+    occurrence = st.one_of(
+        st.none(), st.text(max_size=5), st.integers(),
+        st.dictionaries(st.sampled_from(["__", "0_", "17", "*", ""]),
+                        st.one_of(st.lists(subcell, max_size=3), subcell,
+                                  st.text(max_size=4)),
+                        max_size=2),
+    )
+    record = st.dictionaries(
+        st.sampled_from(["001", "079", "100", "245", "548", "650", "junk", ""]),
+        st.one_of(leader, st.lists(occurrence, max_size=3), occurrence),
+        max_size=5,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(record, min_size=1, max_size=5))
+    def check(recs):
+        pdf = pd.DataFrame(
+            {
+                "record_id": [str(i) for i in range(len(recs))],
+                "marc_json": [json.dumps(r, ensure_ascii=False) for r in recs],
+            }
+        )
+        docs = pd.concat(list(mapped_docs_batches(iter([pdf]))))
+        assert len(docs) <= len(recs)
+        for _, row in docs.iterrows():
+            assert isinstance(json.loads(row["doc"]), dict)
+            if row["entity"] == ERROR_ENTITY:
+                assert "error" in json.loads(row["doc"])
+        triples = pd.concat(list(triples_batches(iter([pdf]))))
+        assert set(triples.columns) == {"entity", "subj", "pred", "obj"}
+        # every record that produced doc output has consistent triples
+        ok_ids = set(docs[docs["entity"] != ERROR_ENTITY]["record_id"])
+        err_ids = set(docs[docs["entity"] == ERROR_ENTITY]["record_id"])
+        assert ok_ids.isdisjoint(err_ids)
+
+    check()
