@@ -60,6 +60,26 @@ def main() -> None:
     # ---- warm-up (JIT, codegen, file cache) -------------------------------
     _noop(qs["kg_triples"](spark, SF_DIR))
 
+    # ---- machine-health calibration (reported, never subtracted) ----------
+    # the sandbox VM's compute delivery swings in sustained phases (same-
+    # session ceiling controls measured 0.74-0.93 scaling efficiency);
+    # this fixed pure-JVM probe lets any consumer normalize a bench run
+    # against the machine's state in THAT window
+    from pyspark.sql import functions as F
+
+    def _calibrate() -> float:
+        df = spark.range(0, 300_000_000, 1, CPUS * 2).agg(
+            F.sum(F.xxhash64("id").cast("decimal(38,0)"))
+        )
+        df.collect()
+        t0 = time.time()
+        spark.range(0, 300_000_000, 1, CPUS * 2).agg(
+            F.sum(F.xxhash64("id").cast("decimal(38,0)"))
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    calibration_sec = _calibrate()
+
     timings: dict[str, float] = {}
     for name in bench_queries:
         t0 = time.time()
@@ -95,6 +115,7 @@ def main() -> None:
                 "webtext_docs": WEBTEXT_DOCS,
                 "triples": n_triples,
                 "triples_per_sec": triples_per_sec,
+                "calibration_sec": calibration_sec,
             }
         )
     )
