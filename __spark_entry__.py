@@ -115,6 +115,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_stats(spark, sf):
         return text.text_stats(_t(spark, sf, "documents"))
 
+    def text_lang_counts(spark, sf):
+        # the 15-language stopword-vote dim under an AGGREGATE hash gate:
+        # corpus language distribution (one wrong vote anywhere flips a
+        # count and the hash)
+        from pyspark.sql import functions as F
+
+        return (
+            _t(spark, sf, "documents")
+            .select(text.lang_guess("text").alias("lang_guess"))
+            .groupBy("lang_guess")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("lang_guess")
+        )
+
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
 
@@ -606,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": rollup_revenue,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
+        "text_lang_counts": text_lang_counts,
         "events_sessions_stateful": events_sessions_stateful,
         "text_stats": text_stats,
         "dedup_exact_groups": dedup_exact_groups,
@@ -703,6 +718,14 @@ QUALIFY rank <= 5
         "events_sessions": relational.events_sessionize_sql(),
         "events_sessions_stateful": relational.events_sessionize_sql(),
         "text_stats": text_stats_sql,
+        "text_lang_counts": f"""
+SELECT lang_guess, count(*) AS n_docs
+FROM (SELECT {text.lang_guess_multi_case_sql()} AS lang_guess
+      FROM (SELECT *,
+             {lang_vote_cols}
+            FROM documents))
+GROUP BY lang_guess ORDER BY lang_guess
+""",
         "dedup_exact_groups": dedup.FINGERPRINT_GROUPS_SQL,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(),
