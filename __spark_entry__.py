@@ -129,6 +129,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("lang_guess")
         )
 
+    def marc_quarantine_counts(spark, sf):
+        # record-level fault isolation under the driver gate: valid +
+        # malformed + unknown-entity records through the Arrow mapping
+        # stage. Malformed occurrences (a non-dict subfield cell crashes
+        # the reference's .items() iteration outright) quarantine into
+        # the __error__ entity; unknown 079 codes drop. Oracle: the
+        # exact expected distribution.
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.mapping.engine import DOCS_SCHEMA, mapped_docs_batches
+
+        _ensure_shipped(spark)
+        rows = []
+        for i in range(12):
+            rid = f"R{i:03d}"
+            if i % 4 in (0, 1):  # valid persons
+                rec = {
+                    "001": rid,
+                    "079": [{"__": [{"b": "p"}]}],
+                    "100": [{"__": [{"a": f"Name {i}", "9": f"(DE-588)10{i}"}]}],
+                }
+            elif i % 4 == 2:  # malformed 548 cell -> quarantined
+                rec = {
+                    "001": rid,
+                    "079": [{"__": [{"b": "g"}]}],
+                    "548": [{"__": ["junk-cell"]}],
+                }
+            else:  # unknown entity code -> dropped
+                rec = {"001": rid, "079": [{"__": [{"b": "zz"}]}]}
+            rows.append((rid, _json.dumps(rec)))
+        records = spark.createDataFrame(
+            rows, "record_id string, marc_json string"
+        )
+        return (
+            records.mapInPandas(mapped_docs_batches, schema=DOCS_SCHEMA)
+            .groupBy("entity")
+            .agg(F.count("*").alias("n"))
+            .orderBy("entity")
+        )
+
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
 
@@ -621,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "text_lang_counts": text_lang_counts,
+        "marc_quarantine_counts": marc_quarantine_counts,
         "events_sessions_stateful": events_sessions_stateful,
         "text_stats": text_stats,
         "dedup_exact_groups": dedup_exact_groups,
@@ -726,6 +769,13 @@ FROM (SELECT {text.lang_guess_multi_case_sql()} AS lang_guess
             FROM documents))
 GROUP BY lang_guess ORDER BY lang_guess
 """,
+        # marc_quarantine_counts: the expected distribution is fully
+        # determined by the synthetic batch (6 valid persons, 3 malformed
+        # -> __error__, 3 unknown-entity -> dropped)
+        "marc_quarantine_counts": (
+            "SELECT * FROM (VALUES ('__error__', cast(3 AS bigint)), "
+            "('persons', cast(6 AS bigint))) AS t(entity, n) ORDER BY entity"
+        ),
         "dedup_exact_groups": dedup.FINGERPRINT_GROUPS_SQL,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(),
