@@ -118,12 +118,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_lang_counts(spark, sf):
         # the 15-language stopword-vote dim under an AGGREGATE hash gate:
         # corpus language distribution (one wrong vote anywhere flips a
-        # count and the hash)
+        # count and the hash). Staged like text_stats: candidates column
+        # first, then the 15 vote counts over it, then the CASE — the
+        # production shape (no re-inlined union filter per language)
         from pyspark.sql import functions as F
 
+        from esmarc_spark.lookups.stopwords import LANG_PRIORITY
+
+        votes = text.lang_vote_counts("_stoks")
         return (
             _t(spark, sf, "documents")
-            .select(text.lang_guess("text").alias("lang_guess"))
+            .select(text.stopword_candidates("split(text, ' ')").alias("_stoks"))
+            .select(*[votes[l].alias(f"_lc_{l}") for l in LANG_PRIORITY])
+            .select(F.expr(text.lang_guess_multi_case_sql()).alias("lang_guess"))
             .groupBy("lang_guess")
             .agg(F.count("*").alias("n_docs"))
             .orderBy("lang_guess")

@@ -186,8 +186,14 @@ def mapped_docs_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     (
                         record_id,
                         ERROR_ENTITY,
+                        # the raw record rides along (reference errors.txt
+                        # carries record + traceback) so the quarantine
+                        # partition is replayable after a fix
                         json.dumps(
-                            {"error": f"{type(e).__name__}: {e}"},
+                            {
+                                "error": f"{type(e).__name__}: {e}",
+                                "record": raw,
+                            },
                             ensure_ascii=False,
                         ),
                     )
