@@ -158,7 +158,13 @@ def lang_guess(text: str = "text") -> Column:
     """Stopword-vote language ID over the 15-language dim
     (lookups.stopwords) — the production rendering of the round-1 toy.
     ``text`` is a column name / SQL fragment (the vote family is built
-    via F.expr, see stopword_candidates)."""
+    via F.expr, see stopword_candidates).
+
+    Convenience form: each of the 15 votes re-inlines the candidate
+    subexpression. In a wide projection or a corpus-scale scan, use the
+    staged shape instead (stopword_candidates as its own column, then
+    lang_vote_counts over it, then the CASE) — see text_stats and the
+    text_lang_counts driver query."""
     cand = f"filter(transform(split({text}, ' '), t -> lower(t)), " \
            f"t -> t IN ({_in_list_sql(_STOPWORD_UNION)}))"
     return lang_from_votes(lang_vote_counts(cand))

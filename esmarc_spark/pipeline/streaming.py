@@ -295,7 +295,13 @@ def compact_session_table(spark: SparkSession, table_dir: str) -> None:
     """Fold the append-log into a single snapshot partition: the merged
     view is rewritten under the highest existing batch_id and older
     partitions are dropped. Run between streaming runs (same cadence as
-    any log-structured table's compaction)."""
+    any log-structured table's compaction).
+
+    Local-filesystem implementation (pathlib/shutil swap) — on HDFS or
+    an object store, swap the directory juggling for the FileSystem API
+    or point the sink at a transactional table format, where compaction
+    is the table service's job; the read view and the per-batch
+    idempotent write contract are unchanged either way."""
     import shutil
     from pathlib import Path
 
