@@ -178,6 +178,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("entity")
         )
 
+    def warc_ingest(spark, sf):
+        # the Common-Crawl-native S0 connector under the driver gate:
+        # parse the vendored .warc.gz (pure-JVM expressions) and compare
+        # url/timestamp/body against the fixture's expected parse (the
+        # golden is written BY the fixture generator, not by the reader —
+        # the reader's fidelity is what's being checked)
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.pipeline.warc import read_warc
+
+        _ensure_shipped(spark)
+        return read_warc(
+            spark, "/root/repo/tests/golden/sample.warc.gz"
+        ).select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+            F.decode("html", "UTF-8").alias("html_text"),
+        ).orderBy("url")
+
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
 
@@ -671,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": events_sessions,
         "text_lang_counts": text_lang_counts,
         "marc_quarantine_counts": marc_quarantine_counts,
+        "warc_ingest": warc_ingest,
         "events_sessions_stateful": events_sessions_stateful,
         "text_stats": text_stats,
         "dedup_exact_groups": dedup_exact_groups,
@@ -782,6 +802,16 @@ GROUP BY lang_guess ORDER BY lang_guess
         "marc_quarantine_counts": (
             "SELECT * FROM (VALUES ('__error__', cast(3 AS bigint)), "
             "('persons', cast(6 AS bigint))) AS t(entity, n) ORDER BY entity"
+        ),
+        # warc_ingest: expected parse vendored next to the fixture by its
+        # GENERATOR (scripts can regenerate both together); the Spark side
+        # must reproduce it from the raw WARC bytes
+        "warc_ingest": (
+            "SELECT url, warc_ts, html_text "
+            "FROM read_json_auto('/root/repo/tests/golden/sample_warc_parsed.ldj', "
+            "format='newline_delimited', "
+            "columns={url: 'VARCHAR', warc_ts: 'VARCHAR', html_text: 'VARCHAR'}) "
+            "ORDER BY url"
         ),
         "dedup_exact_groups": dedup.FINGERPRINT_GROUPS_SQL,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql(),
