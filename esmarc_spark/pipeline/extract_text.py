@@ -57,8 +57,16 @@ def extract_text_expr(html: F.Column) -> F.Column:
     as a regexp_replace chain inside whole-stage codegen — NO Python in the
     hot path (input_hint). ``(?U)`` makes Java's \\s unicode-aware to match
     Python's semantics; byte-identity of the two paths is enforced by
-    tests/test_webtext_pipeline.py::test_extract_paths_byte_identical."""
-    s = F.decode(html, "UTF-8")
+    tests/test_webtext_pipeline.py::test_extract_paths_byte_identical.
+
+    Non-UTF-8 bytes (real crawls: Latin-1/Shift-JIS pages, binary
+    payloads) must not abort the job under ANSI mode the way
+    ``decode(html,'UTF-8')`` does: ``cast(binary as string)`` wraps the
+    bytes unvalidated and ``make_valid_utf8`` replaces each invalid
+    sequence with U+FFFD — verified byte-identical to Python's
+    ``errors="replace"`` incl. truncated multi-byte sequences
+    (tests/test_webtext_pipeline.py::test_extract_non_utf8_lossy)."""
+    s = F.make_valid_utf8(html.cast("string"))
     s = F.regexp_replace(s, r"(?is)<(script|style|head)\b.*?</\1>", " ")
     s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
     for ent, ch in _ENTITIES.items():

@@ -1,13 +1,18 @@
-"""WARC ingest connector: parse fidelity (pure-JVM expressions), gzip
-member handling, skip of non-response records, and end-to-end into the
-KG pipeline."""
+"""WARC ingest connector: byte-exact framing (Content-Length over raw
+bytes), gzip member handling, skip of non-response records, fault
+isolation on malformed records, and end-to-end into the KG pipeline."""
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
+import gzip
 
-from esmarc_spark.pipeline.warc import read_warc, write_warc_fixture
+import pytest
+
+from esmarc_spark.pipeline.warc import (
+    QUARANTINE_URL,
+    read_warc,
+    write_warc_fixture,
+)
 
 RECORDS = [
     (
@@ -41,11 +46,129 @@ def test_read_warc_parses_response_records(spark, tmp_path, suffix):
     assert bytes(rows["https://example.org/empty"].html) == b""
 
 
-def test_warc_parse_is_pure_jvm(spark, tmp_path):
-    p = str(tmp_path / "fixture.warc")
-    write_warc_fixture(p, RECORDS)
-    plan = read_warc(spark, p)._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan and "ArrowEval" not in plan
+# --- byte fidelity (VERDICT r3 #1): the crawled bytes, exactly ---------
+
+ADVERSARIAL = [
+    # Latin-1 body: 0xE9 is é in Latin-1 and INVALID UTF-8 — a text
+    # decode would mangle it to U+FFFD
+    ("https://example.org/latin1", "2024-05-02T00:00:00Z", b"caf\xe9 r\xe9sum\xe9"),
+    # binary body (PNG magic + raw bytes incl. NUL and 0xFF)
+    (
+        "https://example.org/binary",
+        "2024-05-02T01:00:00Z",
+        b"\x89PNG\r\n\x1a\n\x00\x00\xff\xfe" + bytes(range(256)),
+    ),
+    # body that CONTAINS a WARC version line and a fake header block —
+    # Content-Length framing must keep it one record
+    (
+        "https://example.org/warcbody",
+        "2024-05-02T02:00:00Z",
+        b"about WARC:\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nnot a record",
+    ),
+    # body whose trailing CRLFs are PART of the body (Content-Length
+    # says so) — the old blank-line splitter stripped them
+    ("https://example.org/trailcrlf", "2024-05-02T03:00:00Z", b"ends with\r\n\r\n"),
+    # WARC/1.1 record — must not be dropped
+    ("https://example.org/v11", "2024-05-02T04:00:00Z", b"version 1.1 body", "1.1"),
+]
+
+
+@pytest.mark.parametrize("suffix", ["warc", "warc.gz"])
+def test_read_warc_byte_exact(spark, tmp_path, suffix):
+    p = str(tmp_path / f"adv.{suffix}")
+    write_warc_fixture(p, ADVERSARIAL)
+    rows = {r.url: bytes(r.html) for r in read_warc(spark, p).collect()}
+    assert set(rows) == {r[0] for r in ADVERSARIAL}
+    for rec in ADVERSARIAL:
+        assert rows[rec[0]] == rec[2], rec[0]
+
+
+def _raw_record(url, body, version="1.0", extra_headers=b"", length=None):
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    n = len(http) if length is None else length
+    return (
+        f"WARC/{version}\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: 2024-05-03T00:00:00Z\r\n".encode()
+        + extra_headers
+        + f"Content-Length: {n}\r\n\r\n".encode()
+        + http
+        + b"\r\n\r\n"
+    )
+
+
+def test_malformed_records_do_not_abort(spark, tmp_path):
+    """One bad record in the member must not kill the job (ADVICE r3
+    high): truncated record without blank-line separator, garbage
+    Content-Length, malformed WARC-Date — good neighbours all survive."""
+    good1 = _raw_record("https://ok.example/1", b"first good body")
+    # record whose payload has NO http blank line (truncated response)
+    nosep = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example/nosep\r\n"
+        b"WARC-Date: 2024-05-03T00:00:00Z\r\n"
+        b"Content-Length: 12\r\n\r\nHTTP/1.1 200\r\n\r\n"
+    )
+    # garbage Content-Length -> resync to the next version line
+    badlen = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example/len\r\n"
+        b"Content-Length: banana\r\n\r\nwhatever\r\n\r\n"
+    )
+    # malformed WARC-Date -> record kept, warc_ts null (try-semantics)
+    baddate = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://ok.example/baddate\r\n"
+        b"WARC-Date: not-a-date\r\n"
+        b"Content-Length: 24\r\n\r\nHTTP/1.1 200\r\n\r\nts body!\r\n\r\n"
+    )
+    good2 = _raw_record("https://ok.example/2", b"second good body")
+    p = tmp_path / "mixed.warc"
+    p.write_bytes(good1 + nosep + badlen + baddate + good2)
+
+    rows = {r.url: r for r in read_warc(spark, str(p)).collect()}
+    assert "https://ok.example/1" in rows
+    assert "https://ok.example/2" in rows
+    assert bytes(rows["https://ok.example/2"].html) == b"second good body"
+    bd = rows["https://ok.example/baddate"]
+    assert bd.warc_ts is None and bytes(bd.html) == b"ts body!"
+    assert "https://bad.example/nosep" not in rows  # skipped, not fatal
+
+    quarantined = [
+        r
+        for r in read_warc(spark, str(p), errors="quarantine").collect()
+        if r.url == QUARANTINE_URL
+    ]
+    reasons = {r.text for r in quarantined}
+    assert any("Content-Length" in t for t in reasons)
+    assert any("blank line" in t for t in reasons)
+
+
+def test_truncated_tail_keeps_earlier_records(spark, tmp_path):
+    full = _raw_record("https://ok.example/head", b"head body")
+    cut = _raw_record("https://cut.example/tail", b"x" * 1000)[:-600]
+    p = tmp_path / "trunc.warc"
+    p.write_bytes(full + cut)
+    rows = {r.url for r in read_warc(spark, str(p)).collect()}
+    assert rows == {"https://ok.example/head"}
+
+
+def test_multi_member_gzip(spark, tmp_path):
+    """Common Crawl writes one gzip member PER RECORD, concatenated —
+    the reader must see all of them."""
+    p = tmp_path / "cc-style.warc.gz"
+    members = []
+    for url, body in [
+        ("https://m.example/1", b"member one"),
+        ("https://m.example/2", b"member two"),
+    ]:
+        members.append(gzip.compress(_raw_record(url, body)))
+    p.write_bytes(b"".join(members))
+    rows = {r.url: bytes(r.html) for r in read_warc(spark, str(p)).collect()}
+    assert rows == {
+        "https://m.example/1": b"member one",
+        "https://m.example/2": b"member two",
+    }
 
 
 def test_warc_to_pipeline_end_to_end(spark, tmp_path):

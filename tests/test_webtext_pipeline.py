@@ -72,6 +72,30 @@ def test_extract_paths_byte_identical(spark):
         assert row.jvm == row.py, (case, row.jvm, row.py)
 
 
+def test_extract_non_utf8_lossy(spark):
+    """Real crawls carry Latin-1/Shift-JIS/binary payloads; S1 must not
+    abort under ANSI mode (round-3 decode() did) and the JVM path's
+    U+FFFD replacement must equal Python's errors="replace", byte for
+    byte — truncated multi-byte sequences included."""
+    from esmarc_spark.pipeline.extract_text import extract_text_expr, extract_text_udf
+
+    cases = [
+        b"<p>caf\xe9 r\xe9sum\xe9</p>",          # Latin-1
+        b"\x89PNG\r\n\x1a\n\x00\xff\xfe",          # binary payload
+        b"<p>a\xc3</p>",                           # truncated 2-byte seq
+        b"<p>b\xe2\x82</p>",                       # truncated 3-byte seq
+        b"<p>\xf0\x28\x8c\x28</p>",                # overlong-ish garbage
+        "<p>ok é漢</p>".encode(),         # valid multibyte
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "html binary")
+    out = df.select(
+        extract_text_expr(F.col("html")).alias("jvm"),
+        extract_text_udf(F.col("html")).alias("py"),
+    ).collect()
+    for row, case in zip(out, cases):
+        assert row.jvm == row.py, (case, row.jvm, row.py)
+
+
 def test_extract_fills_html_only_rows(webtext):
     docs = with_extracted_text(webtext)
     assert docs.where(F.col("text").isNull()).count() == 0
