@@ -40,10 +40,25 @@ def _compile_pattern(surface_forms: list[str]) -> re.Pattern:
     return re.compile(rf"(?<!\w)(?:{body})(?!\w)")
 
 
-# compiled-alternation cache, keyed per detect_mentions call: python
-# workers are reused across tasks (spark.python.worker.reuse), so each
-# worker compiles the (potentially huge) pattern once instead of per task
+# compiled-alternation cache, keyed by a digest of the surface list:
+# python workers are reused across tasks (spark.python.worker.reuse), so
+# each worker compiles the (potentially huge) pattern once per DISTINCT
+# gazetteer — repeated detect_mentions calls over the same gazetteer hit
+# the same entry (round-3 keyed it by a per-call uuid, which could never
+# hit and leaked one mega-pattern per call). Bounded LRU: a long-lived
+# worker holds at most _REGEX_CACHE_MAX compiled patterns.
 _REGEX_CACHE: dict[str, re.Pattern] = {}
+_REGEX_CACHE_MAX = 4
+
+
+def _cached_pattern(cache_key: str, surfaces: list[str]) -> re.Pattern:
+    pattern = _REGEX_CACHE.pop(cache_key, None)
+    if pattern is None:
+        pattern = _compile_pattern(surfaces)
+    _REGEX_CACHE[cache_key] = pattern  # re-insert = move to MRU end
+    while len(_REGEX_CACHE) > _REGEX_CACHE_MAX:
+        _REGEX_CACHE.pop(next(iter(_REGEX_CACHE)))
+    return pattern
 
 
 def detect_mentions(webtext: DataFrame, surface_forms: list[str]) -> DataFrame:
@@ -52,18 +67,20 @@ def detect_mentions(webtext: DataFrame, surface_forms: list[str]) -> DataFrame:
     The gazetteer ships as a SparkContext broadcast variable (torrent
     distribution, once per executor) rather than a closure capture that
     would ride every task; the compiled pattern is memoized per python
-    worker."""
-    import uuid
+    worker keyed by gazetteer content."""
+    import hashlib
 
     sc = webtext.sparkSession.sparkContext
-    bc = sc.broadcast(sorted(set(surface_forms)))
-    cache_key = uuid.uuid4().hex
+    surfaces = sorted(set(surface_forms))
+    bc = sc.broadcast(surfaces)
+    digest = hashlib.md5()
+    for s in surfaces:
+        digest.update(s.encode())
+        digest.update(b"\x00")
+    cache_key = digest.hexdigest()
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pattern = _REGEX_CACHE.get(cache_key)
-        if pattern is None:
-            pattern = _compile_pattern(bc.value)
-            _REGEX_CACHE[cache_key] = pattern
+        pattern = _cached_pattern(cache_key, bc.value)
         for pdf in batches:
             urls, surfaces, positions, langs = [], [], [], []
             for url, text, lang in zip(pdf["url"], pdf["text"], pdf["lang"]):
@@ -280,7 +297,21 @@ def detect_mentions_ngram(
     # strategy AND give the inline path its surface set (streaming always
     # inlines, so it collects everything)
     if webtext.isStreaming:
-        head = surf_df.collect()
+        # the direct streaming rendering must inline (append mode forbids
+        # the join path's groupBy) — but inlining a LARGE gazetteer is the
+        # exact plan-size/driver hazard the join path exists to avoid, so
+        # refuse instead of silently reintroducing it; the foreachBatch
+        # runner (pipeline.streaming.run_page_triples_foreach_batch) runs
+        # the Bloom+broadcast-join batch path per micro-batch
+        head = surf_df.head(max_inline_surfaces + 1)
+        if len(head) > max_inline_surfaces:
+            raise ValueError(
+                "streaming input with a gazetteer larger than "
+                f"max_inline_surfaces={max_inline_surfaces} would inline "
+                "every surface form into the plan; use "
+                "esmarc_spark.pipeline.streaming.run_page_triples_foreach_batch "
+                "(per-micro-batch join path) for large gazetteers"
+            )
         use_inline = True
     else:
         head = surf_df.head(max_inline_surfaces + 1)

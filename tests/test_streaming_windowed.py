@@ -40,6 +40,62 @@ def test_windowed_mention_counts(spark, tmp_path):
     assert top.endswith("4011882-4")  # Germany's GND uri
 
 
+def _big_gazetteer(spark, n_extra=5000):
+    """Real gazetteer + n_extra synthetic surfaces — large enough that the
+    inline strategy is forbidden (> max_inline_surfaces=4096)."""
+    extra = spark.range(n_extra).selectExpr(
+        "concat('synthsurf', id) as surface_form",
+        "'topics' as entity_type",
+        "'(DE-588)' as authority_prefix",
+        "concat('X', id) as authority_id",
+        "concat('https://d-nb.info/gnd/X', id) as canonical_url",
+    )
+    return gazetteer_df(spark).unionByName(extra)
+
+
+def test_streaming_large_gazetteer_foreach_batch(spark, tmp_path):
+    """VERDICT r3 #2: at >4096 surfaces the direct streaming path must
+    REFUSE to inline the gazetteer, and the foreachBatch runner must
+    produce output identical to the batch join path with no gazetteer
+    literal in the plan."""
+    from esmarc_spark.pipeline.streaming import (
+        page_triples,
+        read_page_triples,
+        run_page_triples_foreach_batch,
+        stream_page_triples,
+    )
+
+    in_dir = str(tmp_path / "in")
+    # materialize the dim so the only way 'synthsurf' can appear in a
+    # query plan is via inlined surface literals
+    gaz_dir = str(tmp_path / "gaz")
+    _big_gazetteer(spark).write.parquet(gaz_dir)
+    gaz = spark.read.parquet(gaz_dir)
+    synth_webtext(spark, n_docs=300, partitions=3, dup_fraction=0).write.parquet(in_dir)
+
+    # direct streaming rendering refuses (would inline 5000+ literals)
+    with pytest.raises(ValueError, match="foreach_batch"):
+        stream_page_triples(spark, in_dir, gaz)
+
+    # the batch composition the runner executes per micro-batch: join
+    # strategy, and no synthetic surface literal anywhere in the plan
+    batch = page_triples(spark.read.parquet(in_dir), gaz)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "synthsurf" not in plan
+
+    run_page_triples_foreach_batch(
+        spark,
+        in_dir,
+        gaz,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # force several micro-batches
+    )
+    got = sorted(map(tuple, read_page_triples(spark, str(tmp_path / "out")).collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+
+
 # ---------------------------------------------------------------------------
 # round 2: custom stateful operator (applyInPandasWithState sessionization)
 # ---------------------------------------------------------------------------
@@ -203,7 +259,10 @@ def test_sessionize_table_sink_exactly_once(spark, tmp_path):
     assert view() == want
 
     compact_session_table(spark, table)
-    assert len([p for p in os.listdir(table) if p.startswith("batch_id=")]) == 1
+    # all folded batch partitions are gone; the data lives in the
+    # published snapshot (commit-marker protocol)
+    assert [p for p in os.listdir(table) if p.startswith("batch_id=")] == []
+    assert os.path.exists(f"{table}.snapshots/_LATEST")
     assert view() == want
 
     # exactly-once: nothing new -> no new batch directories
@@ -212,3 +271,70 @@ def test_sessionize_table_sink_exactly_once(spark, tmp_path):
         spark, in_dir, table, ckpt, gap_minutes=30, max_files_per_trigger=1
     )
     assert sorted(os.listdir(table)) == before
+
+    # post-compaction writes land as new batches ON TOP of the snapshot
+    c = [(2, 4, base)]
+    spark.createDataFrame(c, schema).repartition(1).write.mode("append").parquet(in_dir)
+    os.rename(g.glob(f"{in_dir}/part-*.parquet")[0], f"{in_dir}/c-00.parquet")
+    run_sessionize_to_table(
+        spark, in_dir, table, ckpt, gap_minutes=30, max_files_per_trigger=1
+    )
+    want_c = dict(want)
+    want_c[(2, 1)] = 1
+    assert view() == want_c
+    # second compaction folds snapshot + new batches into a fresh snapshot
+    compact_session_table(spark, table)
+    assert view() == want_c
+
+
+def test_compaction_crash_replay_consistent(spark, tmp_path):
+    """VERDICT r3 #3 / ADVICE: a compactor killed between any two steps
+    must leave readers with a consistent latest-wins view, and a re-run
+    must finish the job."""
+    import datetime as dt
+    import os
+
+    from esmarc_spark.pipeline.streaming import (
+        compact_session_table,
+        read_session_table,
+        run_sessionize_to_table,
+    )
+
+    base = dt.datetime(2024, 4, 1)
+    in_dir = str(tmp_path / "events")
+    table = str(tmp_path / "sessions")
+    schema = "user_id long, event_id long, ts timestamp"
+    rows = [(u, u * 10 + k, base + dt.timedelta(minutes=5 * k)) for u in range(3) for k in range(3)]
+    spark.createDataFrame(rows, schema).repartition(1).write.parquet(in_dir)
+    run_sessionize_to_table(
+        spark, in_dir, table, str(tmp_path / "ckpt"), gap_minutes=30
+    )
+
+    def view():
+        return {
+            (r.user_id, r.session_seq): r.n_events
+            for r in read_session_table(spark, table).collect()
+        }
+
+    want = view()
+    assert want  # 3 users x 1 session
+
+    # crash AFTER the snapshot write, BEFORE the marker publish: readers
+    # must still see the old (un-compacted) state — unchanged view
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_session_table(spark, table, _fail_after="snapshot")
+    assert not os.path.exists(f"{table}.snapshots/_LATEST")
+    assert view() == want
+
+    # crash AFTER the marker publish, BEFORE cleanup: readers use the
+    # snapshot; leftover folded batch dirs are ignored
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_session_table(spark, table, _fail_after="marker")
+    assert os.path.exists(f"{table}.snapshots/_LATEST")
+    assert [p for p in os.listdir(table) if p.startswith("batch_id=")]
+    assert view() == want
+
+    # resumed run completes garbage collection without changing the view
+    compact_session_table(spark, table)
+    assert [p for p in os.listdir(table) if p.startswith("batch_id=")] == []
+    assert view() == want
