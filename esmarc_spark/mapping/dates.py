@@ -64,6 +64,19 @@ def _strip_brackets(s: str) -> str:
     return s
 
 
+
+def _valid_day(y: int, mo: int, d: int) -> bool:
+    """True iff (y, mo, d) is a real calendar date — dateparser (the
+    reference's parser) returns None for impossible dates like
+    '30. Februar 1990', so 1<=d<=31 alone diverges (ADVICE r3)."""
+    import datetime
+
+    try:
+        datetime.date(y, mo, d)
+        return True
+    except ValueError:
+        return False
+
 def parse_fuzzy_date(raw: str) -> tuple[str, str] | None:
     """Parse one date string -> (formatted, granularity) or None.
 
@@ -80,13 +93,13 @@ def parse_fuzzy_date(raw: str) -> tuple[str, str] | None:
     m = _DMY_RE.match(s)
     if m:
         d, mo, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
-        if y < REFERENCE_TODAY_YEAR and 1 <= mo <= 12 and 1 <= d <= 31:
+        if y < REFERENCE_TODAY_YEAR and _valid_day(y, mo, d):
             return f"{y:04d}-{mo:02d}-{d:02d}", "day"
         return None
     m = _ISO_RE.match(s)
     if m:
         y, mo, d = (int(g) for g in m.groups())
-        if y < REFERENCE_TODAY_YEAR and 1 <= mo <= 12 and 1 <= d <= 31:
+        if y < REFERENCE_TODAY_YEAR and _valid_day(y, mo, d):
             return f"{y:04d}-{mo:02d}-{d:02d}", "day"
         return None
     m = _ISO_YM_RE.match(s)
@@ -104,13 +117,13 @@ def parse_fuzzy_date(raw: str) -> tuple[str, str] | None:
     m = _D_MONTH_Y_RE.match(s)
     if m and m.group(2) in _MONTHS:
         d, y = int(m.group(1)), int(m.group(3))
-        if y < REFERENCE_TODAY_YEAR and 1 <= d <= 31:
+        if y < REFERENCE_TODAY_YEAR and _valid_day(y, _MONTHS[m.group(2)], d):
             return f"{y:04d}-{_MONTHS[m.group(2)]:02d}-{d:02d}", "day"
         return None
     m = _MONTH_D_Y_RE.match(s)
     if m and m.group(1) in _MONTHS:
         d, y = int(m.group(2)), int(m.group(3))
-        if y < REFERENCE_TODAY_YEAR and 1 <= d <= 31:
+        if y < REFERENCE_TODAY_YEAR and _valid_day(y, _MONTHS[m.group(1)], d):
             return f"{y:04d}-{_MONTHS[m.group(1)]:02d}-{d:02d}", "day"
         return None
     # fall back: a single 4-digit year embedded in noise ("ca. 1830", "anno 1530")

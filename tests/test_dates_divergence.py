@@ -93,3 +93,15 @@ def test_parse_fuzzy_date_never_raises():
         assert r is None or (isinstance(r, tuple) and len(r) == 2)
 
     check()
+
+
+def test_impossible_calendar_dates_rejected():
+    """dateparser returns None for impossible dates; 1<=d<=31 alone let
+    '30. Februar 1990' through as 1990-02-30 (ADVICE r3)."""
+    assert parse_fuzzy_date("30. Februar 1990") is None
+    assert parse_fuzzy_date("31.04.1990") is None
+    assert parse_fuzzy_date("1990-02-30") is None
+    assert parse_fuzzy_date("February 30, 1990") is None
+    # leap-year boundary, both sides
+    assert parse_fuzzy_date("29. Februar 1996") == ("1996-02-29", "day")
+    assert parse_fuzzy_date("29. Februar 1995") is None
