@@ -158,17 +158,25 @@ def _bloom_build(surf_df: DataFrame, n_tok0: int) -> tuple[DataFrame, int]:
     # false-positive rate degrades gracefully instead of overflowing
     m_bits = 1 << min(30, max(13, (24 * max(n_tok0, 1) - 1).bit_length()))
     tok0 = F.split("surface_form", " ")[0]
-    bits = (
+    # packed words folded JVM-side (bit_or partial-aggregates map-side,
+    # and is idempotent so no distinct pass is needed): the driver
+    # collects at most m_bits/62 longs regardless of gazetteer
+    # cardinality — round 3 collected one row per SET BIT instead
+    b = F.xxhash64(tok0).bitwiseAND(F.lit(m_bits - 1))
+    word_rows = (
         surf_df.select(
-            F.xxhash64(tok0).bitwiseAND(F.lit(m_bits - 1)).alias("b")
+            (b / _BLOOM_WORD_BITS).cast("int").alias("w"),
+            F.element_at(
+                _pow2(), F.pmod(b, F.lit(_BLOOM_WORD_BITS)).cast("int") + 1
+            ).alias("bit"),
         )
-        .distinct()
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
         .collect()
     )
     words = [0] * ((m_bits + _BLOOM_WORD_BITS - 1) // _BLOOM_WORD_BITS)
-    for r in bits:
-        b = r["b"]
-        words[b // _BLOOM_WORD_BITS] |= 1 << (b % _BLOOM_WORD_BITS)
+    for r in word_rows:
+        words[r["w"]] = r["word"]
     bloom_df = surf_df.sparkSession.createDataFrame(
         [(words,)], f"{BLOOM_COL} array<bigint>"
     )

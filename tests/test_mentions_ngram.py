@@ -294,3 +294,42 @@ def test_ngram_adversarial_text(spark):
     assert a == b
     assert ("u2", "Dresden", 0, "de") in a  # edge punctuation stripped
     assert ("u4", "ünïcödé", 0, "de") in a
+
+
+def test_bloom_build_matches_per_bit_reference(spark):
+    """Round-4 JVM-side word assembly (groupBy + bit_or) must produce the
+    exact bitmap of the round-3 per-set-bit driver fold, for assorted
+    gazetteer shapes incl. unicode and hash-colliding densities."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.pipeline.mentions import _BLOOM_WORD_BITS, _bloom_build
+
+    rng = random.Random(7)
+    vocab = (
+        [f"tok{i}" for i in range(500)]
+        + ["Österreich", "Köln am Rhein", "東京 都", "a", ""]
+        + [f"{rng.randint(0, 99)}x y" for _ in range(100)]
+    )
+    for n in (1, 17, 300, len(vocab)):
+        surfaces = vocab[:n]
+        surf = spark.createDataFrame(
+            [(s,) for s in surfaces], "surface_form string"
+        ).distinct()
+        bloom_df, m_bits = _bloom_build(surf, n)
+        got = bloom_df.collect()[0][0]
+        # reference: per-set-bit collect + driver fold (the r3 builder)
+        bits = (
+            surf.select(
+                F.xxhash64(F.split("surface_form", " ")[0])
+                .bitwiseAND(F.lit(m_bits - 1))
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        want = [0] * ((m_bits + _BLOOM_WORD_BITS - 1) // _BLOOM_WORD_BITS)
+        for r in bits:
+            want[r["b"] // _BLOOM_WORD_BITS] |= 1 << (r["b"] % _BLOOM_WORD_BITS)
+        assert got == want, n
