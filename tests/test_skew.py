@@ -108,3 +108,49 @@ def test_cc_on_zipfian_giant_component(spark):
     # generous 3x guard band over the measured ~equal-or-faster behavior;
     # a quadratic hub blowup would exceed it by an order of magnitude
     assert zipf_sec <= 3 * max(tail_sec, 1.0), (zipf_sec, tail_sec)
+
+
+def test_zipf_surface_detection_correct_and_bounded(spark):
+    """Zipfian mention-surface guard band (VERDICT r3 #6): a head surface
+    in EVERY doc must not break the join-path fold (fold keys are urls,
+    uniform) and must stay within a loose wall-clock band of a uniform
+    corpus with the same mention count. BENCH/mentions_skew.json carries
+    the measured evidence (zipf/uniform 0.75 at 200k docs — the head is
+    FASTER, like the CC hub); the band here is a regression tripwire, not
+    a tight benchmark (VM timing noise)."""
+    import time
+
+    from esmarc_spark.pipeline.mentions import detect_mentions_ngram
+
+    gaz = spark.range(5000).selectExpr("concat('ent', id) as surface_form")
+    gaz = gaz.union(spark.createDataFrame([("Germany",)], "surface_form string")).cache()
+    gaz.count()
+
+    def corpus(zipf: bool):
+        first = (
+            F.lit("Germany")
+            if zipf
+            else F.concat(F.lit("ent"), F.pmod(F.xxhash64("id", F.lit(1)), 5000).cast("string"))
+        )
+        return spark.range(0, 8000, 1, 8).select(
+            F.concat(F.lit("https://d/"), F.col("id").cast("string")).alias("url"),
+            F.concat_ws(
+                " ",
+                first,
+                F.concat(F.lit("w"), F.pmod(F.xxhash64("id"), 1000).cast("string")),
+                F.concat(F.lit("ent"), F.pmod(F.xxhash64("id", F.lit(2)), 5000).cast("string")),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+        )
+
+    def run(zipf: bool):
+        t0 = time.time()
+        n = detect_mentions_ngram(corpus(zipf), gaz).count()
+        return n, time.time() - t0
+
+    run(False)  # warm-up (bloom + broadcast machinery)
+    n_zipf, t_zipf = run(True)
+    n_uni, t_uni = run(False)
+    # every doc yields exactly 2 mentions in both corpora
+    assert n_zipf == 16000 and n_uni == 16000
+    assert t_zipf < 3 * t_uni + 1.0, (t_zipf, t_uni)
