@@ -25,7 +25,7 @@ CORPUS = json.load(open("/root/repo/tests/golden/date_corpus.json"))
 
 def test_determinate_corpus_divergence_under_2pct():
     determinate = [e for e in CORPUS if e["expect"] != "unknown"]
-    assert len(determinate) >= 150  # corpus must stay substantive
+    assert len(CORPUS) >= 1000 and len(determinate) >= 700  # corpus must stay substantive
     wrong = []
     for e in determinate:
         got = parse_fuzzy_date(e["raw"])
