@@ -180,7 +180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def warc_ingest(spark, sf):
         # the Common-Crawl-native S0 connector under the driver gate:
-        # parse the vendored .warc.gz (pure-JVM expressions) and compare
+        # parse the vendored .warc.gz (byte-exact Content-Length framing,
+        # Arrow-batched per member) and compare
         # url/timestamp/body against the fixture's expected parse (the
         # golden is written BY the fixture generator, not by the reader —
         # the reader's fidelity is what's being checked)
@@ -196,6 +197,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
             F.decode("html", "UTF-8").alias("html_text"),
         ).orderBy("url")
+
+    def warc_quarantine(spark, sf):
+        # fault-isolation contract of the byte-exact reader (round 4):
+        # the vendored adversarial member interleaves good records
+        # (Latin-1 body, body containing a WARC version line, WARC/1.1)
+        # with every malformed-frame class; good bodies are checked by
+        # md5 OF THE RAW BYTES, malformed frames land as quarantine rows
+        # with their reason — one bad record never aborts the member
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.pipeline.warc import QUARANTINE_URL, read_warc
+
+        _ensure_shipped(spark)
+        df = read_warc(
+            spark,
+            "/root/repo/tests/golden/adversarial.warc.gz",
+            errors="quarantine",
+        )
+        return df.select(
+            "url",
+            F.when(F.col("url") == QUARANTINE_URL, F.col("text"))
+            .otherwise(F.md5("html"))
+            .alias("info"),
+        ).orderBy("url", "info")
 
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
@@ -691,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_counts": text_lang_counts,
         "marc_quarantine_counts": marc_quarantine_counts,
         "warc_ingest": warc_ingest,
+        "warc_quarantine": warc_quarantine,
         "events_sessions_stateful": events_sessions_stateful,
         "text_stats": text_stats,
         "dedup_exact_groups": dedup_exact_groups,
@@ -806,6 +832,20 @@ GROUP BY lang_guess ORDER BY lang_guess
         # warc_ingest: expected parse vendored next to the fixture by its
         # GENERATOR (scripts can regenerate both together); the Spark side
         # must reproduce it from the raw WARC bytes
+        # warc_quarantine: expected rows are fully determined by the
+        # vendored adversarial fixture; md5 literals are of the raw
+        # payload bytes as written by its generator
+        "warc_quarantine": (
+            "SELECT * FROM (VALUES "
+            "('__warc_error__', 'bad version line'), "
+            "('__warc_error__', 'missing/invalid Content-Length'), "
+            "('__warc_error__', 'response payload without HTTP blank line'), "
+            "('https://adv.example/last', '74d7c239d1e36ed3288cc85fd39541a8'), "
+            "('https://adv.example/latin1', 'eae1ed33c417288e50eca357f3a4b9f3'), "
+            "('https://adv.example/v11', '78d4eecc5db4843a258c1a3cd8f39d14'), "
+            "('https://adv.example/warcbody', '3b5a975ee92e0a5ed1ab88a5a326a455')"
+            ") AS t(url, info) ORDER BY url, info"
+        ),
         "warc_ingest": (
             "SELECT url, warc_ts, html_text "
             "FROM read_json_auto('/root/repo/tests/golden/sample_warc_parsed.ldj', "
