@@ -188,3 +188,60 @@ def test_warc_to_pipeline_end_to_end(spark, tmp_path):
     }
     assert any("example.org/a" in s for s, _ in mentions)
     assert any("4012995-0" in o for _, o in mentions)  # Dresden's gazetteer id
+
+
+def test_single_crlf_record_separator(spark, tmp_path):
+    """Off-spec members that separate records with ONE CRLF (or none)
+    must still frame correctly — the stray bytes are pushed back and
+    merged with the next version line."""
+    r1 = _raw_record("https://sep.example/1", b"body one")[:-2]  # one CRLF
+    r2 = _raw_record("https://sep.example/2", b"body two")[:-4]  # none
+    r3 = _raw_record("https://sep.example/3", b"body three")
+    p = tmp_path / "sep.warc"
+    p.write_bytes(r1 + r2 + r3)
+    rows = {r.url: bytes(r.html) for r in read_warc(spark, str(p)).collect()}
+    assert rows == {
+        "https://sep.example/1": b"body one",
+        "https://sep.example/2": b"body two",
+        "https://sep.example/3": b"body three",
+    }
+
+
+def test_decode_http_encodings(spark, tmp_path):
+    """Real crawls store the raw wire bytes: gzip/deflate content
+    encoding and chunked transfer encoding. decode_http=True undoes
+    them; the default keeps byte fidelity."""
+    import zlib
+
+    page = b"<html><body>Dresden im gzip.</body></html>"
+    gz_body = zlib.compress(page, 9, wbits=31) if hasattr(zlib, "compressobj") else page
+    gz_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz_body
+    )
+    chunked = b"7\r\n<html>c\r\n8\r\nhunked!\x21\r\n0\r\n\r\n"
+    ch_http = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+
+    def rec(url, http):
+        return (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: 2024-05-04T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n".encode()
+            + http
+            + b"\r\n\r\n"
+        )
+
+    p = tmp_path / "enc.warc"
+    p.write_bytes(rec("https://enc.example/gz", gz_http) + rec("https://enc.example/ch", ch_http))
+
+    raw = {r.url: bytes(r.html) for r in read_warc(spark, str(p)).collect()}
+    assert raw["https://enc.example/gz"] == gz_body  # byte-exact default
+
+    dec = {
+        r.url: bytes(r.html)
+        for r in read_warc(spark, str(p), decode_http=True).collect()
+    }
+    assert dec["https://enc.example/gz"] == page
+    assert dec["https://enc.example/ch"] == b"<html>chunked!!"
