@@ -245,3 +245,55 @@ def test_decode_http_encodings(spark, tmp_path):
     }
     assert dec["https://enc.example/gz"] == page
     assert dec["https://enc.example/ch"] == b"<html>chunked!!"
+
+
+def test_warc_incremental_checkpoint_resume(spark, tmp_path):
+    """The full Common-Crawl flow: .warc.gz members -> byte-exact S0 ->
+    incremental run partitioned by days(warc_ts), crash-resumable. A
+    second invocation after new members arrive processes ONLY the new
+    day partitions, and the final triples equal a from-scratch run."""
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.pipeline.run import run_incremental
+    from esmarc_spark.pipeline.webtext import gazetteer_df
+
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    day1 = [
+        ("https://cc.example/a", "2024-06-01T08:00:00Z", "Dresden liegt an der Elbe."),
+        ("https://cc.example/b", "2024-06-01T09:00:00Z", "Leipzig in Sachsen."),
+    ]
+    day2 = [
+        ("https://cc.example/c", "2024-06-02T10:00:00Z", "Berlin und Dresden."),
+    ]
+    write_warc_fixture(str(warc_dir / "d1.warc.gz"), day1)
+    gaz = gazetteer_df(spark)
+    out = str(tmp_path / "out")
+
+    res1 = run_incremental(spark, read_warc(spark, str(warc_dir)), gaz, out)
+    assert res1["processed"] == ["2024-06-01"]
+
+    # new member lands; rerun processes only the new day
+    write_warc_fixture(str(warc_dir / "d2.warc.gz"), day2)
+    res2 = run_incremental(spark, read_warc(spark, str(warc_dir)), gaz, out)
+    assert res2["processed"] == ["2024-06-02"]
+
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{out}/triples").select("subj", "pred", "obj").collect())
+    )
+    # from-scratch reference over the same members
+    fresh = str(tmp_path / "fresh")
+    run_incremental(spark, read_warc(spark, str(warc_dir)), gaz, fresh)
+    want = sorted(
+        map(tuple, spark.read.parquet(f"{fresh}/triples").select("subj", "pred", "obj").collect())
+    )
+    assert got == want and len(got) > 0
+    # lineage records both partitions with doc counts
+    from esmarc_spark.pipeline.checkpoint import CheckpointStore
+
+    log = CheckpointStore(spark, out).read()
+    lineage = {
+        r.pday: r.n_docs
+        for r in log.where(F.col("status") == "done").collect()
+    }
+    assert lineage == {"2024-06-01": 2, "2024-06-02": 1}
