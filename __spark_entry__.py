@@ -222,6 +222,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("info"),
         ).orderBy("url", "info")
 
+    def url_canonical_groups(spark, sf):
+        # crawl-url canonicalization under the hash gate: five messy
+        # variants of each logical url (case-variant host, default port,
+        # fragment, tracking params, unsorted query, trailing slash)
+        # must collapse to the documented canonical groups — each rule
+        # re-implemented independently in the DuckDB oracle
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.urlnorm import canonical_url
+
+        docs = _t(spark, sf, "documents")
+        gid = F.floor(F.col("doc_id") / 5).cast("string")
+        v = F.pmod(F.col("doc_id"), F.lit(5))
+        url = (
+            F.when(v == 0, F.concat(F.lit("https://Example.COM/Docs/"), gid, F.lit("/")))
+            .when(v == 1, F.concat(F.lit("https://example.com/Docs/"), gid, F.lit("?utm_source=x&b=2&a=1")))
+            .when(v == 2, F.concat(F.lit("HTTPS://EXAMPLE.com:443/Docs/"), gid, F.lit("#frag")))
+            .when(v == 3, F.concat(F.lit("https://example.com/Docs/"), gid, F.lit("?a=1&b=2")))
+            .otherwise(F.concat(F.lit("http://other.ORG:80/"), gid))
+        )
+        return (
+            docs.select(canonical_url(url).alias("curl"))
+            .groupBy("curl")
+            .agg(F.count("*").alias("n"))
+            .orderBy("curl")
+        )
+
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
 
@@ -717,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marc_quarantine_counts": marc_quarantine_counts,
         "warc_ingest": warc_ingest,
         "warc_quarantine": warc_quarantine,
+        "url_canonical_groups": url_canonical_groups,
         "events_sessions_stateful": events_sessions_stateful,
         "text_stats": text_stats,
         "dedup_exact_groups": dedup_exact_groups,
@@ -832,6 +860,14 @@ GROUP BY lang_guess ORDER BY lang_guess
         # warc_ingest: expected parse vendored next to the fixture by its
         # GENERATOR (scripts can regenerate both together); the Spark side
         # must reproduce it from the raw WARC bytes
+        "url_canonical_groups": __import__(
+            "esmarc_spark.ops.urlnorm", fromlist=["canonical_groups_sql"]
+        ).canonical_groups_sql("""SELECT CASE doc_id % 5
+   WHEN 0 THEN 'https://Example.COM/Docs/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+   WHEN 1 THEN 'https://example.com/Docs/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=x&b=2&a=1'
+   WHEN 2 THEN 'HTTPS://EXAMPLE.com:443/Docs/' || CAST(doc_id // 5 AS VARCHAR) || '#frag'
+   WHEN 3 THEN 'https://example.com/Docs/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+   ELSE 'http://other.ORG:80/' || CAST(doc_id // 5 AS VARCHAR) END AS url FROM documents"""),
         # warc_quarantine: expected rows are fully determined by the
         # vendored adversarial fixture; md5 literals are of the raw
         # payload bytes as written by its generator

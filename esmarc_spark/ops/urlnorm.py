@@ -1,0 +1,120 @@
+"""URL canonicalization — the standard pre-dedup step for web corpora
+(the reference keys everything on record ids; a crawl keys on urls, and
+raw crawl urls are noisy: case-variant hosts, default ports, fragments,
+tracking params, trailing slashes).
+
+Canonical form (documented, deterministic — each rule is applied by both
+the Spark expression and the DuckDB oracle SQL):
+
+1. fragment dropped;
+2. scheme and host lowercased (path case is preserved — it is
+   significant per RFC 3986);
+3. default ports dropped (http:80, https:443);
+4. tracking query params removed (utm_*, gclid, fbclid, msclkid);
+5. remaining query params sorted bytewise;
+6. trailing slashes stripped from non-root paths.
+
+Percent-encoding normalization is intentionally NOT applied (it can
+change semantics for reserved characters); a crawl that needs it should
+do it at fetch time.
+
+Everything is whole-stage-codegen expressions — no UDF, no shuffle; the
+dedup that follows is one uniform-keyed groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING = r"^(utm_[^=]*|gclid|fbclid|msclkid)(=|$)"
+_SCHEME_HOST = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+
+
+def canonical_url(url: F.Column) -> F.Column:
+    """Pure-JVM canonicalization expression (rules in module docstring)."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    base = F.regexp_replace(no_frag, r"\?.*$", "")
+    query = F.when(
+        no_frag.contains("?"), F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    ).otherwise(F.lit(""))
+
+    raw_sh = F.regexp_extract(base, _SCHEME_HOST, 0)
+    rest = F.substring(base, F.length(raw_sh) + 1, F.lit(1 << 30))
+    sh = F.lower(raw_sh)
+    sh = F.regexp_replace(sh, r"^(http://[^:/?#]+):80$", "$1")
+    sh = F.regexp_replace(sh, r"^(https://[^:/?#]+):443$", "$1")
+
+    rest_norm = F.when(rest.isin("", "/"), F.lit("")).otherwise(
+        F.regexp_replace(rest, r"/+$", "")
+    )
+
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        sh,
+        rest_norm,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+# the same six rules in DuckDB SQL as a CTE chain, parameterized by the
+# url-producing SELECT — used to build cross-engine oracles
+def canonical_groups_sql(url_select: str) -> str:
+    """DuckDB: canonical-url group counts over ``url_select`` (a SELECT
+    producing one ``url`` column)."""
+    return f"""
+WITH raw AS ({url_select}),
+ s1 AS (SELECT regexp_replace(url, '#.*$', '') AS no_frag FROM raw),
+ s2 AS (SELECT regexp_replace(no_frag, '\\?.*$', '') AS base,
+               CASE WHEN contains(no_frag, '?')
+                    THEN regexp_extract(no_frag, '\\?(.*)$', 1)
+                    ELSE '' END AS query
+        FROM s1),
+ s3 AS (SELECT regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS raw_sh,
+               base, query FROM s2),
+ s4 AS (SELECT lower(raw_sh) AS sh0,
+               substring(base, length(raw_sh) + 1) AS rest, query FROM s3),
+ s5 AS (SELECT regexp_replace(regexp_replace(sh0,
+                 '^(http://[^:/?#]+):80$', '\\1'),
+                 '^(https://[^:/?#]+):443$', '\\1') AS sh,
+               CASE WHEN rest IN ('', '/') THEN ''
+                    ELSE regexp_replace(rest, '/+$', '') END AS rest_norm,
+               coalesce(array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                      '^(utm_[^=]*|gclid|fbclid|msclkid)(=|$)'))), '&'),
+                 '') AS qs
+        FROM s4)
+SELECT sh || rest_norm || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS curl,
+       count(*) AS n
+FROM s5 GROUP BY curl ORDER BY curl
+"""
+
+
+def dedup_by_canonical_url(webtext: DataFrame) -> DataFrame:
+    """One row per canonical url: latest crawl wins (max_by warc_ts,
+    ties broken by the raw url for determinism). Single uniform-keyed
+    shuffle; composes in front of the pipeline's dedup_by_url."""
+    return (
+        webtext.withColumn("_curl", canonical_url(F.col("url")))
+        .groupBy("_curl")
+        .agg(
+            F.max_by(
+                F.struct("url", "warc_ts", "html", "text", "lang"),
+                F.struct("warc_ts", "url"),
+            ).alias("_row")
+        )
+        .select(
+            F.col("_curl").alias("url"),
+            F.col("_row.warc_ts").alias("warc_ts"),
+            F.col("_row.html").alias("html"),
+            F.col("_row.text").alias("text"),
+            F.col("_row.lang").alias("lang"),
+        )
+    )

@@ -1,0 +1,56 @@
+"""URL canonicalization: rule-by-rule expression checks and the
+latest-crawl-wins canonical dedup."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from esmarc_spark.ops.urlnorm import canonical_url, dedup_by_canonical_url
+
+CASES = [
+    # (raw, canonical)
+    ("https://Example.COM/Path", "https://example.com/Path"),     # host case only
+    ("HTTPS://EXAMPLE.com:443/Path", "https://example.com/Path"), # default port
+    ("http://a.example:80/x", "http://a.example/x"),
+    ("http://a.example:8080/x", "http://a.example:8080/x"),       # real port kept
+    ("https://a.example/x#frag", "https://a.example/x"),
+    ("https://a.example/x/", "https://a.example/x"),              # trailing slash
+    ("https://a.example/", "https://a.example"),                  # root path
+    ("https://a.example", "https://a.example"),
+    ("https://a.example/x?b=2&a=1", "https://a.example/x?a=1&b=2"),  # sorted
+    ("https://a.example/x?utm_source=s&a=1&fbclid=f", "https://a.example/x?a=1"),
+    ("https://a.example/x?utm_campaign", "https://a.example/x"),  # valueless tracker
+    ("https://a.example/CasePath/B", "https://a.example/CasePath/B"),  # path case kept
+]
+
+
+def test_canonical_url_rules(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    for (raw, want), g in zip(CASES, got):
+        assert g == want, (raw, g, want)
+
+
+def test_canonical_url_is_pure_codegen(spark):
+    df = spark.createDataFrame([("https://x.example/a",)], "url string")
+    plan = (
+        df.select(canonical_url(F.col("url")).alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_dedup_by_canonical_url_latest_wins(spark):
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        ("https://A.example/p/", t0, None, "old", "en"),
+        ("https://a.example/p", t0 + dt.timedelta(days=1), None, "new", "en"),
+        ("https://b.example/q?utm_source=x", t0, None, "only", "de"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = {r.url: r for r in dedup_by_canonical_url(df).collect()}
+    assert set(out) == {"https://a.example/p", "https://b.example/q"}
+    assert out["https://a.example/p"].text == "new"  # later crawl wins
+    assert out["https://b.example/q"].text == "only"
