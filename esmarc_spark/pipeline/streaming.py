@@ -84,6 +84,7 @@ def run_page_triples_foreach_batch(
     checkpoint_dir: str,
     source_index: str = "webtext-stream",
     max_files_per_trigger: int | None = None,
+    stream: DataFrame | None = None,
 ) -> None:
     """Streaming rendering of the LARGE-gazetteer mention path (round 4 —
     VERDICT r3 #2): foreachBatch runs the batch Bloom+broadcast-join
@@ -99,12 +100,17 @@ def run_page_triples_foreach_batch(
 
     The gazetteer dim is cached for the run: the join path probes it
     (strategy head + Bloom build) once per micro-batch, and those probe
-    jobs should hit memory, not recompute the dim."""
+    jobs should hit memory, not recompute the dim.
+
+    ``stream`` overrides the default parquet-directory source with any
+    webtext-shaped streaming frame — e.g. ``warc.read_warc_stream`` for
+    a crawl drop-box of .warc.gz members."""
     gazetteer = gazetteer.cache()
-    reader = spark.readStream.schema(WEBTEXT_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_dir)
+    if stream is None:
+        reader = spark.readStream.schema(WEBTEXT_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(input_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         page_triples(batch_df, gazetteer, source_index).write.mode(

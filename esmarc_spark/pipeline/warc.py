@@ -307,6 +307,58 @@ def _record_rows(
         )
 
 
+def _arrow_parser(errors: str, decode_http: bool):
+    """mapInArrow closure shared by the batch and streaming readers.
+
+    mapInArrow, not mapInPandas: the record tuples become Arrow arrays
+    directly, skipping the pandas object-Series round-trip (measured
+    ~1.4x on ingest throughput — the html BYTES dominate the batch)."""
+    import pyarrow as pa
+
+    arrow_schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
+    )
+
+    def parse(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        def flush(rows):
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[i] for r in rows], type=f.type)
+                    for i, f in enumerate(arrow_schema)
+                ],
+                schema=arrow_schema,
+            )
+
+        for rb in batches:
+            paths = rb.column("path").to_pylist()
+            contents = (
+                rb.column("content").to_pylist()
+                if "content" in rb.schema.names
+                else [None] * len(paths)
+            )
+            for p, content in zip(paths, contents):
+                stream = _open_member(p, content)
+                try:
+                    rows = []
+                    for row in _record_rows(stream, errors, decode_http):
+                        rows.append(row)
+                        if len(rows) >= _BATCH_RECORDS:
+                            yield flush(rows)
+                            rows = []
+                    if rows:
+                        yield flush(rows)
+                finally:
+                    stream.close()
+
+    return parse
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -350,53 +402,45 @@ def read_warc(
         # the bytes are NOT shuffled
         files = files.select("path", "content")
 
-    import pyarrow as pa
-
-    arrow_schema = pa.schema(
-        [
-            pa.field("url", pa.string()),
-            pa.field("warc_ts", pa.timestamp("us")),
-            pa.field("html", pa.binary()),
-            pa.field("text", pa.string()),
-            pa.field("lang", pa.string()),
-        ]
+    return files.mapInArrow(
+        _arrow_parser(errors, decode_http), schema=WEBTEXT_SCHEMA
     )
 
-    # mapInArrow, not mapInPandas: the record tuples become Arrow arrays
-    # directly, skipping the pandas object-Series round-trip (measured
-    # ~1.4x on ingest throughput — the html BYTES dominate the batch)
-    def parse(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
-        def flush(rows):
-            return pa.RecordBatch.from_arrays(
-                [
-                    pa.array([r[i] for r in rows], type=f.type)
-                    for i, f in enumerate(arrow_schema)
-                ],
-                schema=arrow_schema,
-            )
 
-        for rb in batches:
-            paths = rb.column("path").to_pylist()
-            contents = (
-                rb.column("content").to_pylist()
-                if "content" in rb.schema.names
-                else [None] * len(paths)
-            )
-            for p, content in zip(paths, contents):
-                stream = _open_member(p, content)
-                try:
-                    rows = []
-                    for row in _record_rows(stream, errors, decode_http):
-                        rows.append(row)
-                        if len(rows) >= _BATCH_RECORDS:
-                            yield flush(rows)
-                            rows = []
-                    if rows:
-                        yield flush(rows)
-                finally:
-                    stream.close()
+# the binaryFile source needs its schema stated explicitly in streaming mode
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
 
-    return files.mapInArrow(parse, schema=WEBTEXT_SCHEMA)
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    errors: str = "skip",
+    decode_http: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING WARC source: new ``*.warc.gz`` members landing under
+    ``path`` become webtext rows — S0 as a Structured Streaming source
+    (file-discovery offsets live in the query's checkpoint, so a crawl
+    drop-box is processed exactly once across restarts).
+
+    The member parse is the same byte-exact framing as ``read_warc``;
+    the file list rides the stream (one member = one task's work), and
+    members stream off the filesystem via their path — content stays
+    pruned, exactly like the batch reader's local mode. Compose with
+    ``pipeline.streaming.page_triples`` or a foreachBatch runner for the
+    large-gazetteer join path."""
+    if errors not in ("skip", "quarantine"):
+        raise ValueError(f"errors must be skip|quarantine, got {errors!r}")
+    reader = spark.readStream.format("binaryFile").schema(_BINARYFILE_SCHEMA)
+    reader = reader.option("pathGlobFilter", "*.warc*")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path")
+    return files.mapInArrow(
+        _arrow_parser(errors, decode_http), schema=WEBTEXT_SCHEMA
+    )
 
 
 def write_warc_fixture(path: str, records: list[tuple]) -> None:

@@ -297,3 +297,57 @@ def test_warc_incremental_checkpoint_resume(spark, tmp_path):
         for r in log.where(F.col("status") == "done").collect()
     }
     assert lineage == {"2024-06-01": 2, "2024-06-02": 1}
+
+
+def test_warc_streaming_source_exactly_once(spark, tmp_path):
+    """S0 as a Structured Streaming source: a crawl drop-box of .warc.gz
+    members streams into page triples via the foreachBatch join path;
+    members arriving between catch-up runs are processed exactly once
+    (file offsets live in the checkpoint), and the final triples equal
+    the batch pipeline over all members."""
+    from esmarc_spark.pipeline.streaming import (
+        page_triples,
+        read_page_triples,
+        run_page_triples_foreach_batch,
+    )
+    from esmarc_spark.pipeline.warc import read_warc_stream
+    from esmarc_spark.pipeline.webtext import gazetteer_df
+
+    drop = tmp_path / "dropbox"
+    drop.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    gaz = gazetteer_df(spark)
+    write_warc_fixture(
+        str(drop / "m1.warc.gz"),
+        [("https://st.example/1", "2024-06-01T00:00:00Z", "Dresden an der Elbe.")],
+    )
+
+    def catch_up():
+        run_page_triples_foreach_batch(
+            spark, None, gaz, out, ckpt,
+            stream=read_warc_stream(spark, str(drop), max_files_per_trigger=1),
+        )
+
+    catch_up()
+    first = set(map(tuple, read_page_triples(spark, out).collect()))
+    assert any(p == "mentions" for _, p, _ in first)
+
+    write_warc_fixture(
+        str(drop / "m2.warc.gz"),
+        [("https://st.example/2", "2024-06-02T00:00:00Z", "Leipzig in Sachsen.")],
+    )
+    catch_up()
+    catch_up()  # idempotent: nothing new on the third run
+
+    got = sorted(map(tuple, read_page_triples(spark, out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            page_triples(
+                __import__("esmarc_spark.pipeline.warc", fromlist=["read_warc"])
+                .read_warc(spark, str(drop)),
+                gaz,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > len(first)
