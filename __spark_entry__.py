@@ -249,6 +249,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("curl")
         )
 
+    def boilerplate_main_text(spark, sf):
+        # block-level boilerplate removal under the hash gate: each doc
+        # wrapped in a nav + footer of link-dense blocks; the extractor
+        # must keep exactly the content block. The oracle runs the SAME
+        # RE2-safe regexes through DuckDB's list kernels.
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.boilerplate import extract_main_text
+
+        docs = _t(spark, sf, "documents")
+        html = F.concat(
+            F.lit('<div><a href="/">Home</a> <a href="/a">About</a></div><p>'),
+            F.col("text"),
+            F.lit('</p><div class="f"><a href="/p">Privacy</a> <a href="/t">Terms</a></div>'),
+        )
+        return docs.select(
+            "doc_id", F.md5(extract_main_text(html)).alias("main_md5")
+        ).orderBy("doc_id")
+
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
 
@@ -745,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": warc_ingest,
         "warc_quarantine": warc_quarantine,
         "url_canonical_groups": url_canonical_groups,
+        "boilerplate_main_text": boilerplate_main_text,
         "events_sessions_stateful": events_sessions_stateful,
         "text_stats": text_stats,
         "dedup_exact_groups": dedup_exact_groups,
@@ -860,6 +880,12 @@ GROUP BY lang_guess ORDER BY lang_guess
         # warc_ingest: expected parse vendored next to the fixture by its
         # GENERATOR (scripts can regenerate both together); the Spark side
         # must reproduce it from the raw WARC bytes
+        "boilerplate_main_text": (
+            "SELECT doc_id, md5(coalesce(" + __import__(
+                "esmarc_spark.ops.boilerplate", fromlist=["main_text_sql"]
+            ).main_text_sql('\'<div><a href="/">Home</a> <a href="/a">About</a></div><p>\' || text || \'</p><div class="f"><a href="/p">Privacy</a> <a href="/t">Terms</a></div>\'')
+            + ", '')) AS main_md5 FROM documents ORDER BY doc_id"
+        ),
         "url_canonical_groups": __import__(
             "esmarc_spark.ops.urlnorm", fromlist=["canonical_groups_sql"]
         ).canonical_groups_sql("""SELECT CASE doc_id % 5

@@ -261,8 +261,20 @@ def _http_decode(http_headers: bytes, body: bytes) -> bytes:
                 body = zlib.decompress(body)
             except zlib.error:
                 body = zlib.decompress(body, wbits=-15)  # raw-deflate servers
-        elif enc in ("br", "zstd"):
-            pass  # no decoder in the stdlib — keep raw bytes
+        elif enc == "br":
+            try:  # optional backend, like the Pillow/ffmpeg media codecs
+                import brotli  # type: ignore[import-not-found]
+
+                body = brotli.decompress(body)
+            except Exception:
+                pass  # no decoder available — keep raw bytes
+        elif enc == "zstd":
+            try:
+                import zstandard  # type: ignore[import-not-found]
+
+                body = zstandard.ZstdDecompressor().decompress(body)
+            except Exception:
+                pass
     except (ValueError, zlib.error):
         pass
     return body
