@@ -75,13 +75,30 @@ def extract_text_expr(html: F.Column) -> F.Column:
     return F.trim(s)
 
 
-def with_extracted_text(webtext: DataFrame, jvm: bool = True) -> DataFrame:
+def with_extracted_text(
+    webtext: DataFrame, jvm: bool = True, main_content: bool = False
+) -> DataFrame:
     """S1: fill null ``text`` from ``html``; stamp extraction provenance.
 
     jvm=True (default) uses the codegen expression path; jvm=False the
     Arrow/pandas reference path.
+
+    main_content=True swaps the full-page flatten for block-level
+    boilerplate removal (ops.boilerplate.extract_main_text — nav/footer
+    blocks dropped by link density). The DEFAULT stays the byte-identical
+    full-page contract, which mention offsets and the parity gates
+    depend on; opt in per pipeline for training-data curation.
     """
-    extractor = extract_text_expr(F.col("html")) if jvm else extract_text_udf(F.col("html"))
+    if main_content:
+        from esmarc_spark.ops.boilerplate import extract_main_text
+
+        extractor = extract_main_text(
+            F.make_valid_utf8(F.col("html").cast("string"))
+        )
+    elif jvm:
+        extractor = extract_text_expr(F.col("html"))
+    else:
+        extractor = extract_text_udf(F.col("html"))
     extracted = F.when(F.col("text").isNull() & F.col("html").isNotNull(), extractor)
     return webtext.withColumn(
         "text_extracted", F.col("text").isNull() & F.col("html").isNotNull()

@@ -68,3 +68,25 @@ def test_duckdb_parity(spark):
         for d in con.sql("SELECT " + main_text_sql("html") + " FROM pages").fetchall()
     ]
     assert got == duck
+
+
+def test_s1_main_content_mode(spark):
+    """with_extracted_text(main_content=True) fills html-only rows with
+    boilerplate-stripped text; text-carrying rows keep their text."""
+    from esmarc_spark.pipeline.extract_text import with_extracted_text
+
+    html = (
+        "<div><a href='/'>Nav</a> <a href='/b'>More</a></div>"
+        "<p>Real content paragraph long enough to survive the block filter.</p>"
+    ).encode()
+    df = spark.createDataFrame(
+        [
+            ("u1", None, html, None, "en"),
+            ("u2", None, None, "preset text stays", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = {r.url: r for r in with_extracted_text(df, main_content=True).collect()}
+    assert out["u1"].text == "Real content paragraph long enough to survive the block filter."
+    assert out["u1"].text_extracted is True
+    assert out["u2"].text == "preset text stays" and out["u2"].text_extracted is False
