@@ -280,8 +280,24 @@ def _http_decode(http_headers: bytes, body: bytes) -> bytes:
     return body
 
 
+def _http_status(payload: bytes, idx: int) -> int | None:
+    """Status code from the HTTP status line ("HTTP/1.1 200 OK"), or
+    None when the payload does not start with one."""
+    line = payload[: min(idx, 64)]
+    if not line.startswith(b"HTTP/"):
+        return None
+    parts = line.split(None, 2)
+    try:
+        return int(parts[1])
+    except (IndexError, ValueError):
+        return None
+
+
 def _record_rows(
-    stream, errors: str, decode_http: bool
+    stream,
+    errors: str,
+    decode_http: bool,
+    keep_status=None,
 ) -> Iterator[tuple[str, object, bytes, str | None, str | None]]:
     for headers, payload, err in _iter_records(stream):
         if headers is None:
@@ -307,6 +323,10 @@ def _record_rows(
                     None,
                 )
             continue
+        if keep_status is not None:
+            status = _http_status(payload, idx)
+            if status not in keep_status:
+                continue
         body = payload[idx + len(_CRLF2) :]
         if decode_http:
             body = _http_decode(payload[:idx], body)
@@ -319,7 +339,7 @@ def _record_rows(
         )
 
 
-def _arrow_parser(errors: str, decode_http: bool):
+def _arrow_parser(errors: str, decode_http: bool, keep_status=None):
     """mapInArrow closure shared by the batch and streaming readers.
 
     mapInArrow, not mapInPandas: the record tuples become Arrow arrays
@@ -358,7 +378,9 @@ def _arrow_parser(errors: str, decode_http: bool):
                 stream = _open_member(p, content)
                 try:
                     rows = []
-                    for row in _record_rows(stream, errors, decode_http):
+                    for row in _record_rows(
+                        stream, errors, decode_http, keep_status
+                    ):
                         rows.append(row)
                         if len(rows) >= _BATCH_RECORDS:
                             yield flush(rows)
@@ -376,6 +398,7 @@ def read_warc(
     path: str,
     errors: str = "skip",
     decode_http: bool = False,
+    keep_status: tuple | None = None,
 ) -> DataFrame:
     """Read WARC file(s) into (url, warc_ts, html, text, lang).
 
@@ -392,6 +415,12 @@ def read_warc(
     (chunked, gzip, deflate) per record so S1 sees the page markup of
     crawls stored with the raw wire bytes; decode failures keep the raw
     bytes. Default False preserves exact byte fidelity.
+
+    keep_status filters by the HTTP status line — real crawls carry
+    301/404/5xx responses; ``keep_status=(200,)`` keeps only fetched
+    pages. Default None keeps every response record (a record whose
+    payload has no parseable status line is kept only when the filter
+    is off).
     """
     if errors not in ("skip", "quarantine"):
         raise ValueError(f"errors must be skip|quarantine, got {errors!r}")
@@ -415,7 +444,7 @@ def read_warc(
         files = files.select("path", "content")
 
     return files.mapInArrow(
-        _arrow_parser(errors, decode_http), schema=WEBTEXT_SCHEMA
+        _arrow_parser(errors, decode_http, keep_status), schema=WEBTEXT_SCHEMA
     )
 
 
@@ -431,6 +460,7 @@ def read_warc_stream(
     errors: str = "skip",
     decode_http: bool = False,
     max_files_per_trigger: int | None = None,
+    keep_status: tuple | None = None,
 ) -> DataFrame:
     """STREAMING WARC source: new ``*.warc.gz`` members landing under
     ``path`` become webtext rows — S0 as a Structured Streaming source
@@ -451,7 +481,7 @@ def read_warc_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path).select("path")
     return files.mapInArrow(
-        _arrow_parser(errors, decode_http), schema=WEBTEXT_SCHEMA
+        _arrow_parser(errors, decode_http, keep_status), schema=WEBTEXT_SCHEMA
     )
 
 

@@ -351,3 +351,35 @@ def test_warc_streaming_source_exactly_once(spark, tmp_path):
         )
     )
     assert got == want and len(got) > len(first)
+
+
+def test_keep_status_filter(spark, tmp_path):
+    """Real crawls carry redirects and errors; keep_status=(200,) keeps
+    only fetched pages, the default keeps everything."""
+    def rec(url, status_line, body):
+        http = status_line + b"\r\nContent-Type: text/html\r\n\r\n" + body
+        return (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: 2024-05-05T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n".encode()
+            + http
+            + b"\r\n\r\n"
+        )
+
+    p = tmp_path / "status.warc"
+    p.write_bytes(
+        rec("https://s.example/ok", b"HTTP/1.1 200 OK", b"page body")
+        + rec("https://s.example/moved", b"HTTP/1.1 301 Moved Permanently", b"")
+        + rec("https://s.example/gone", b"HTTP/1.1 404 Not Found", b"nope")
+        + rec("https://s.example/nostatus", b"NOTHTTP junk", b"raw")
+    )
+    all_rows = {r.url for r in read_warc(spark, str(p)).collect()}
+    assert all_rows == {
+        "https://s.example/ok",
+        "https://s.example/moved",
+        "https://s.example/gone",
+        "https://s.example/nostatus",
+    }
+    ok = {r.url for r in read_warc(spark, str(p), keep_status=(200,)).collect()}
+    assert ok == {"https://s.example/ok"}
