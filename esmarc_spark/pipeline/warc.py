@@ -25,6 +25,14 @@ mis-split on body-embedded version lines, and ignored Content-Length):
   (``errors="quarantine"``), mirroring the mapping engine's
   ``__error__`` channel (mapping/engine.py).
 
+Round 5: object-store paths stream too. Listing goes through the
+pyarrow FileSystem API driver-side (paths only — no binaryFile content
+rows), and each task opens its member with ``open_input_stream`` /
+``FileSystem.from_uri``, so a remote ~1 GB gzip member flows through the
+same bounded-memory parser as a local one. An explicit ``filesystem=``
+(any picklable pyarrow FileSystem) exercises the identical code path in
+tests via SubTreeFileSystem.
+
 Scale notes: a gzip member is not splittable, so one .warc.gz = one
 input partition — exactly how Common Crawl is laid out (tens of
 thousands of ~1 GB files per crawl; parallelism comes from the file
@@ -50,6 +58,12 @@ _CRLF2 = b"\r\n\r\n"
 _BATCH_RECORDS = 1024
 # a header block larger than this is garbage, not a header — resync
 _MAX_HEADER_BYTES = 1 << 20
+# hard cap on a single readline: a newline-free garbage member (e.g. a
+# mis-named binary matched by the glob) must never be buffered whole by
+# one readline — an over-long "line" comes back chopped and fails the
+# version-line check like any other malformed frame (bounded memory
+# beats best-effort resync through mid-line version markers)
+_MAX_LINE_BYTES = 1 << 20
 
 WEBTEXT_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -74,12 +88,12 @@ class _PushbackStream:
     def readline(self) -> bytes:
         if self._pb:
             line, self._pb = self._pb, b""
-            if not line.endswith(b"\n"):
+            if not line.endswith(b"\n") and len(line) < _MAX_LINE_BYTES:
                 # partial pushback (e.g. 2 stray separator bytes) — merge
                 # with the rest of its line so framing sees whole lines
-                line += self._raw.readline()
+                line += self._raw.readline(_MAX_LINE_BYTES)
             return line
-        return self._raw.readline()
+        return self._raw.readline(_MAX_LINE_BYTES)
 
     def read(self, n: int) -> bytes:
         if self._pb:
@@ -100,12 +114,41 @@ class _PushbackStream:
                 pass
 
 
-def _open_member(path: str, content: bytes | None) -> _PushbackStream:
-    """Byte stream for one WARC member: the local file when the path is
-    local (streaming — nothing materialized), else the binaryFile
-    content bytes."""
+def _is_remote(path: str) -> bool:
+    return "://" in path and not path.startswith("file:")
+
+
+def _open_member(
+    path: str, content: bytes | None = None, filesystem=None
+) -> _PushbackStream:
+    """Byte stream for one WARC member — STREAMING in every mode, a
+    member is never materialized whole:
+
+    * explicit pyarrow ``filesystem`` (shipped through the parser
+      closure — picklable, e.g. S3FileSystem/SubTreeFileSystem): paths
+      are fs-relative, opened via ``open_input_stream``;
+    * remote URI (``s3://``/``gs://``/``hdfs://``...): resolved per
+      member with ``pyarrow.fs.FileSystem.from_uri`` — one client
+      construction per ~1 GB member, negligible against the parse;
+    * local path / ``file:`` URI: plain ``open``;
+    * ``content`` bytes: BytesIO (test/fuzz harness entry).
+
+    gzip detection is pushback-based (no seek — remote streams are
+    forward-only); ``compression=None`` keeps pyarrow from transparently
+    gunzipping by extension, because Common Crawl members are MULTI-
+    member gzip and our own layer handles that concatenation exactly.
+    """
     if content is not None:
         raw: io.IOBase = io.BytesIO(bytes(content))
+    elif filesystem is not None:
+        raw = io.BufferedReader(
+            filesystem.open_input_stream(path, compression=None)
+        )
+    elif _is_remote(path):
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        raw = io.BufferedReader(fs.open_input_stream(rel, compression=None))
     else:
         local = path
         if local.startswith("file:"):
@@ -114,31 +157,36 @@ def _open_member(path: str, content: bytes | None) -> _PushbackStream:
             while local.startswith("//"):
                 local = local[1:]
         raw = open(local, "rb")
-    pos = raw.tell()
-    head = raw.read(2)
-    raw.seek(pos)
+    inner = _PushbackStream(raw)
+    head = inner.read(2)
+    inner.pushback(head)
     if head == b"\x1f\x8b":
         import gzip
 
-        return _PushbackStream(gzip.GzipFile(fileobj=raw), owned=(raw,))
-    return _PushbackStream(raw)
+        return _PushbackStream(
+            gzip.GzipFile(fileobj=inner), owned=(inner, raw)
+        )
+    return inner
 
 
-def _read_until_blank(stream) -> bytes | None:
-    """Bytes of one header block (without the terminating CRLFCRLF), or
-    None at EOF / when no terminator shows up within the sanity bound."""
+def _read_until_blank(stream) -> tuple[bytes | None, str | None]:
+    """(header block bytes without the terminating CRLFCRLF, None), or
+    (partial bytes, error name) when the stream ends before a blank line
+    ("truncated header block") or the block exceeds the sanity bound
+    ("oversized header block" — the caller resyncs past the garbage
+    instead of dropping the rest of the member)."""
     chunks = []
     size = 0
     while True:
         line = stream.readline()
         if not line:
-            return None
+            return b"".join(chunks), "truncated header block"
         if line in (b"\r\n", b"\n"):
-            return b"".join(chunks)
+            return b"".join(chunks), None
         chunks.append(line)
         size += len(line)
         if size > _MAX_HEADER_BYTES:
-            return None
+            return chunks[-1], "oversized header block"
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -192,14 +240,25 @@ def _iter_records(
         if version in (b"\r\n", b"\n"):
             continue  # stray separator noise between records
         if not version.startswith(_VERSION_PREFIX):
-            if _resync(stream):
-                yield None, version[:4096], "bad version line"
-                continue
+            # quarantine the bad frame whether or not resync finds a next
+            # record — a garbage tail at EOF must not vanish silently
+            ok = _resync(stream)
+            yield None, version[:4096], "bad version line"
+            if not ok:
+                return
+            continue
+        block, block_err = _read_until_blank(stream)
+        if block_err == "truncated header block":
+            yield None, version[:4096], block_err
             return
-        block = _read_until_blank(stream)
-        if block is None:
-            yield None, version[:4096], "truncated header block"
-            return
+        if block_err == "oversized header block":
+            # one unterminated/garbage header must not drop the rest of
+            # the member: skip forward to the next version line
+            ok = _resync(stream)
+            yield None, (block or version)[:4096], block_err
+            if not ok:
+                return
+            continue
         headers = _parse_headers(block)
         try:
             length = int(headers["content-length"])
@@ -339,7 +398,37 @@ def _record_rows(
         )
 
 
-def _arrow_parser(errors: str, decode_http: bool, keep_status=None):
+def _list_members(fs, path: str) -> list[str]:
+    """File listing through the pyarrow FileSystem API (driver-side):
+    ``path`` may be a file, a directory (recursive — Common Crawl lays
+    members out in nested prefixes), or contain a glob in its final
+    segments (fnmatch against the listing — object stores have no
+    server-side glob)."""
+    import fnmatch
+
+    import pyarrow.fs as pafs
+
+    wild = min(
+        (i for i in (path.find(c) for c in "*?[") if i >= 0), default=-1
+    )
+    if wild < 0:
+        info = fs.get_file_info(path)
+        if info.type == pafs.FileType.File:
+            return [path]
+        base, pattern = path.rstrip("/"), None
+    else:
+        base, pattern = path[:wild].rpartition("/")[0], path
+    sel = pafs.FileSelector(base, recursive=True, allow_not_found=False)
+    out = [
+        i.path
+        for i in fs.get_file_info(sel)
+        if i.type == pafs.FileType.File
+        and (pattern is None or fnmatch.fnmatch(i.path, pattern))
+    ]
+    return sorted(out)
+
+
+def _arrow_parser(errors: str, decode_http: bool, keep_status=None, filesystem=None):
     """mapInArrow closure shared by the batch and streaming readers.
 
     mapInArrow, not mapInPandas: the record tuples become Arrow arrays
@@ -375,7 +464,7 @@ def _arrow_parser(errors: str, decode_http: bool, keep_status=None):
                 else [None] * len(paths)
             )
             for p, content in zip(paths, contents):
-                stream = _open_member(p, content)
+                stream = _open_member(p, content, filesystem)
                 try:
                     rows = []
                     for row in _record_rows(
@@ -399,8 +488,17 @@ def read_warc(
     errors: str = "skip",
     decode_http: bool = False,
     keep_status: tuple | None = None,
+    filesystem=None,
 ) -> DataFrame:
     """Read WARC file(s) into (url, warc_ts, html, text, lang).
+
+    ``path`` may be local, a ``file:`` URI, or an object-store URI
+    (``s3://``/``gs://``/``hdfs://`` — anything
+    ``pyarrow.fs.FileSystem.from_uri`` resolves); members STREAM off the
+    store in every mode. ``filesystem`` optionally passes an explicit
+    picklable pyarrow FileSystem (then ``path`` is fs-relative) — how
+    the test suite drives the remote code path without a live bucket,
+    and how custom-credentialed S3FileSystem instances are injected.
 
     ``html`` carries the response body bytes EXACTLY as crawled (framed
     by Content-Length, never string-decoded); ``text``/``lang`` are null
@@ -424,27 +522,47 @@ def read_warc(
     """
     if errors not in ("skip", "quarantine"):
         raise ValueError(f"errors must be skip|quarantine, got {errors!r}")
-    # local paths stream straight off the filesystem (content pruned from
-    # the scan); remote object-store paths fall back to binaryFile content
-    stream_local = "://" not in path or path.startswith("file:")
-    files = spark.read.format("binaryFile").load(path)
-    if stream_local:
-        # content is pruned from the scan, so Spark's size-based file
-        # packing would bin-pack MANY members into FEW partitions
-        # (maxPartitionBytes) and serialize the framing work; spread the
-        # path rows across the cluster instead — a shuffle of path
-        # strings, not of file bytes
-        files = files.select("path").repartition(
-            spark.sparkContext.defaultParallelism
-        )
+    if filesystem is not None or _is_remote(path):
+        # object store / explicit pyarrow filesystem: list the members
+        # driver-side through the FileSystem API and ship ONLY path
+        # strings — each task then streams its member via
+        # open_input_stream, so a ~1 GB gzip member never materializes
+        # as a row (the round-4 binaryFile-content fallback did exactly
+        # that). The listing is one metadata call, same as Spark's own
+        # file index would issue.
+        if filesystem is not None:
+            members = _list_members(filesystem, path)
+        else:
+            import pyarrow.fs as pafs
+
+            fs, rel = pafs.FileSystem.from_uri(path)
+            scheme, _, rest = path.partition("://")
+            netloc = rest.split("/", 1)[0]
+            members = [
+                f"{scheme}://{p}"
+                if p.startswith(netloc)
+                else f"{scheme}://{netloc}{p if p.startswith('/') else '/' + p}"
+                for p in _list_members(fs, rel)
+            ]
+        files = spark.createDataFrame(
+            [(m,) for m in members], "path string"
+        ).repartition(spark.sparkContext.defaultParallelism)
     else:
-        # remote object store: fall back to binaryFile content (whole
-        # member per row); keep Spark's ~file-per-partition packing so
-        # the bytes are NOT shuffled
-        files = files.select("path", "content")
+        # local filesystem: binaryFile discovery, content pruned from the
+        # scan. Spark's size-based file packing would bin-pack MANY
+        # members into FEW partitions (maxPartitionBytes) and serialize
+        # the framing work; spread the path rows across the cluster
+        # instead — a shuffle of path strings, not of file bytes
+        files = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select("path")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
 
     return files.mapInArrow(
-        _arrow_parser(errors, decode_http, keep_status), schema=WEBTEXT_SCHEMA
+        _arrow_parser(errors, decode_http, keep_status, filesystem),
+        schema=WEBTEXT_SCHEMA,
     )
 
 
@@ -470,7 +588,12 @@ def read_warc_stream(
     The member parse is the same byte-exact framing as ``read_warc``;
     the file list rides the stream (one member = one task's work), and
     members stream off the filesystem via their path — content stays
-    pruned, exactly like the batch reader's local mode. Compose with
+    pruned in every mode. A remote drop-box (``s3://``...) needs the
+    matching Hadoop connector on the Spark side for the streaming FILE
+    DISCOVERY (binaryFile listing + checkpoint offsets live in the JVM);
+    the member BYTES are then opened executor-side through
+    ``pyarrow.fs.FileSystem.from_uri`` exactly like the batch reader —
+    never materialized as rows. Compose with
     ``pipeline.streaming.page_triples`` or a foreachBatch runner for the
     large-gazetteer join path."""
     if errors not in ("skip", "quarantine"):

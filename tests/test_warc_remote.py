@@ -1,0 +1,152 @@
+"""Remote/object-store WARC ingest (round 5 — VERDICT r4 #1).
+
+The remote code path — pyarrow FileSystem listing + per-member
+``open_input_stream`` — is exercised through SubTreeFileSystem (a
+picklable pyarrow FS that makes local disk look like a non-posix store:
+no ``open()``, no ``file:`` handling, fs-relative paths), so the exact
+code a live ``s3://`` bucket would hit runs in the sandbox. The ADVICE
+r4 fault-isolation items (bounded readline, oversized-header resync,
+EOF bad-version quarantine) are pinned here too.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from esmarc_spark.pipeline.warc import (
+    QUARANTINE_URL,
+    _list_members,
+    _open_member,
+    _record_rows,
+    read_warc,
+    write_warc_fixture,
+)
+
+pafs = pytest.importorskip("pyarrow.fs")
+
+
+RECORDS = [
+    ("https://r.example/a", "2024-03-01T10:00:00Z", "<p>alpha page</p>"),
+    ("https://r.example/b", "2024-03-01T11:00:00Z", b"latin1 caf\xe9".decode("latin-1").encode("latin-1")),
+    ("https://r.example/c", "2024-03-02T09:30:00Z", "<div>body with WARC/1.0 inside</div>"),
+]
+
+
+@pytest.fixture()
+def warc_dir(tmp_path):
+    d = tmp_path / "crawl" / "2024-03"
+    d.mkdir(parents=True)
+    write_warc_fixture(str(d / "m0.warc.gz"), RECORDS[:2])
+    write_warc_fixture(str(d / "m1.warc.gz"), RECORDS[2:])
+    (d / "ignore.txt").write_text("not a warc")
+    return tmp_path
+
+
+def _collect(df):
+    return sorted(
+        (r["url"], r["warc_ts"].isoformat(), bytes(r["html"]))
+        for r in df.collect()
+    )
+
+
+def test_remote_fs_matches_local(spark, warc_dir):
+    """SubTreeFileSystem read == local read, byte for byte."""
+    fs = pafs.SubTreeFileSystem(str(warc_dir), pafs.LocalFileSystem())
+    remote = read_warc(spark, "crawl/2024-03/*.warc.gz", filesystem=fs)
+    local = read_warc(spark, str(warc_dir / "crawl" / "2024-03" / "*.warc.gz"))
+    assert _collect(remote) == _collect(local)
+    assert len(_collect(remote)) == len(RECORDS)
+
+
+def test_remote_plan_has_no_binaryfile_content(spark, warc_dir):
+    """The remote mode must never scan file CONTENT through Spark's row
+    format — the plan carries only path strings into mapInArrow."""
+    fs = pafs.SubTreeFileSystem(str(warc_dir), pafs.LocalFileSystem())
+    df = read_warc(spark, "crawl/2024-03/*.warc.gz", filesystem=fs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "binaryFile" not in plan
+    assert "content" not in plan
+
+
+def test_remote_quarantine_channel(spark, tmp_path):
+    d = tmp_path / "q"
+    d.mkdir()
+    write_warc_fixture(str(d / "good.warc.gz"), RECORDS[:1])
+    with gzip.open(d / "bad.warc.gz", "wb") as f:
+        f.write(b"NOT-A-WARC\r\njunk\r\n")
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    rows = read_warc(
+        spark, "q/*.warc.gz", errors="quarantine", filesystem=fs
+    ).collect()
+    by_url = {r["url"]: r for r in rows}
+    assert RECORDS[0][0] in by_url
+    assert by_url[QUARANTINE_URL]["text"] == "bad version line"
+
+
+def test_remote_directory_listing_recursive(spark, warc_dir):
+    """A bare directory path lists members recursively (CC nests
+    prefixes); non-glob mode takes every file, like binaryFile on a
+    dir — the parser quarantines/skips non-WARC strays."""
+    fs = pafs.SubTreeFileSystem(str(warc_dir), pafs.LocalFileSystem())
+    df = read_warc(spark, "crawl", filesystem=fs)
+    assert len(_collect(df)) == len(RECORDS)
+
+
+def test_list_members_modes(warc_dir):
+    fs = pafs.SubTreeFileSystem(str(warc_dir), pafs.LocalFileSystem())
+    single = _list_members(fs, "crawl/2024-03/m0.warc.gz")
+    assert single == ["crawl/2024-03/m0.warc.gz"]
+    globbed = _list_members(fs, "crawl/*/m*.warc.gz")
+    assert [p.rsplit("/", 1)[1] for p in globbed] == ["m0.warc.gz", "m1.warc.gz"]
+    all_files = _list_members(fs, "crawl")
+    assert any(p.endswith("ignore.txt") for p in all_files)
+
+
+# --- parser fault isolation (ADVICE r4) -------------------------------------
+
+
+def test_newline_free_garbage_is_bounded():
+    """A mis-named binary with no newlines must not be buffered whole by
+    one readline: the quarantine row is capped, the member is skipped."""
+    rows = list(
+        _record_rows(
+            _open_member("m", b"\x00\x01" * (2 << 20)), "quarantine", False
+        )
+    )
+    assert [r[3] for r in rows] == ["bad version line"]
+    assert len(rows[0][2]) <= 4096
+
+
+def test_oversized_header_resyncs_to_next_record():
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 29\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\nhello body\r\n\r\n"
+    )
+    member = b"WARC/1.0\r\n" + b"Z: q\r\n" * 300_000 + good
+    rows = list(_record_rows(_open_member("m", member), "quarantine", False))
+    assert [(r[0], r[3]) for r in rows] == [
+        (QUARANTINE_URL, "oversized header block"),
+        ("http://x/", None),
+    ]
+
+
+def test_eof_garbage_tail_is_quarantined_not_silent():
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 29\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\nhello body\r\n\r\n"
+    )
+    rows = list(
+        _record_rows(
+            _open_member("m", good + b"TRAILING GARBAGE"), "quarantine", False
+        )
+    )
+    assert [(r[0], r[3]) for r in rows] == [
+        ("http://x/", None),
+        (QUARANTINE_URL, "bad version line"),
+    ]
