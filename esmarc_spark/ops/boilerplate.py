@@ -50,12 +50,21 @@ _ENTITIES = {
 }
 
 
+# Unicode-whitespace collapse as an explicit class instead of (?U)\s:
+# Java's (?U)\s and RE2's \s disagree on non-ASCII whitespace (RE2 \s is
+# ASCII-only), so the cross-engine parity claim held only for ASCII
+# pages. [\s\p{Z}\x0b\x85] evaluates to the SAME set — the Unicode
+# White_Space property — in both engines: Java \s {09-0D,20} ∪ Z ∪
+# {0B,85} == RE2 \s {09,0A,0C,0D,20} ∪ Z ∪ {0B,85}.
+_WS_CLASS = r"[\s\p{Z}\x0b\x85]+"
+
+
 def _visible(col: F.Column) -> F.Column:
     """Tag-strip + entity decode + whitespace collapse (S1 semantics)."""
     s = F.regexp_replace(col, _TAG, " ")
     for ent, ch in _ENTITIES.items():
         s = F.replace(s, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(s, r"(?U)\s+", " "))
+    return F.trim(F.regexp_replace(s, _WS_CLASS, " "))
 
 
 def extract_main_text(
@@ -96,7 +105,7 @@ def main_text_sql(
         return (
             "trim(regexp_replace("
             + ent.format(x=stripped)
-            + ", '\\s+', ' ', 'g'))"
+            + ", '[\\s\\p{Z}\\x0b\\x85]+', ' ', 'g'))"
         )
 
     return f"""

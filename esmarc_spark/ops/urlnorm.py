@@ -100,21 +100,23 @@ FROM s5 GROUP BY curl ORDER BY curl
 def dedup_by_canonical_url(webtext: DataFrame) -> DataFrame:
     """One row per canonical url: latest crawl wins (max_by warc_ts,
     ties broken by the raw url for determinism). Single uniform-keyed
-    shuffle; composes in front of the pipeline's dedup_by_url."""
+    shuffle; composes in front of the pipeline's dedup_by_url.
+
+    The survivor struct is built from ``webtext.columns`` (like
+    dedup_by_url), so extra columns — text_extracted provenance, a
+    sniffed charset, anything a caller added — survive the dedup
+    regardless of compose order."""
+    cols = webtext.columns
     return (
         webtext.withColumn("_curl", canonical_url(F.col("url")))
         .groupBy("_curl")
         .agg(
             F.max_by(
-                F.struct("url", "warc_ts", "html", "text", "lang"),
-                F.struct("warc_ts", "url"),
+                F.struct(*cols), F.struct("warc_ts", "url")
             ).alias("_row")
         )
         .select(
             F.col("_curl").alias("url"),
-            F.col("_row.warc_ts").alias("warc_ts"),
-            F.col("_row.html").alias("html"),
-            F.col("_row.text").alias("text"),
-            F.col("_row.lang").alias("lang"),
+            *[F.col(f"_row.{c}").alias(c) for c in cols if c != "url"],
         )
     )

@@ -37,6 +37,13 @@ PAGES = [
         "<p>Entities &amp; markers &lt;kept&gt; in a sufficiently long paragraph here.</p>",
         'Entities & markers <kept> in a sufficiently long paragraph here.',
     ),
+    # literal non-ASCII whitespace (NBSP, em space, NEL) collapses the
+    # same way in BOTH engines — the r5 [\\s\\p{Z}\\x0b\\x85] class; Java's
+    # (?U)\\s vs RE2's ASCII \\s used to diverge here
+    (
+        "<p>Unicode\u00a0whitespace\u2003separated\u0085words in a long enough paragraph kept.</p>",
+        "Unicode whitespace separated words in a long enough paragraph kept.",
+    ),
 ]
 
 

@@ -54,3 +54,28 @@ def test_dedup_by_canonical_url_latest_wins(spark):
     assert set(out) == {"https://a.example/p", "https://b.example/q"}
     assert out["https://a.example/p"].text == "new"  # later crawl wins
     assert out["https://b.example/q"].text == "only"
+
+
+def test_dedup_by_canonical_url_preserves_extra_columns(spark):
+    """ADVICE r4: columns beyond the base webtext five (e.g.
+    text_extracted provenance) must survive the dedup regardless of
+    compose order."""
+    t0 = dt.datetime(2024, 6, 1)
+    df = spark.createDataFrame(
+        [
+            ("https://A.example/p/", t0, "old", True, 1),
+            ("https://a.example/p", t0 + dt.timedelta(days=1), "new", False, 2),
+        ],
+        "url string, warc_ts timestamp, text string, "
+        "text_extracted boolean, crawl_seq int",
+    )
+    out = dedup_by_canonical_url(df).collect()
+    assert [r.asDict() for r in out] == [
+        {
+            "url": "https://a.example/p",
+            "warc_ts": t0 + dt.timedelta(days=1),
+            "text": "new",
+            "text_extracted": False,
+            "crawl_seq": 2,
+        }
+    ]
