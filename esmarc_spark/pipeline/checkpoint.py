@@ -21,7 +21,6 @@ exact resume semantics.
 from __future__ import annotations
 
 import time
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,9 +34,12 @@ CHECKPOINT_SCHEMA = (
 
 class CheckpointStore:
     def __init__(self, spark: SparkSession, root: str):
+        # URI-safe join (root may be a file:// or object-store URI —
+        # every write here is a parquet append via Spark, so the lineage
+        # table needs no posix mechanics at all)
         self.spark = spark
         self.root = root
-        self.path = str(Path(root) / "checkpoints")
+        self.path = root.rstrip("/") + "/checkpoints"
 
     def read(self) -> DataFrame:
         try:

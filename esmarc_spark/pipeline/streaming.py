@@ -338,30 +338,31 @@ def run_sessionize_to_table(
     )
 
 
-def _snapshot_root(table_dir: str):
-    from pathlib import Path
-
-    return Path(f"{table_dir}.snapshots")
+def _snapshot_root(table_dir: str) -> str:
+    return f"{table_dir}.snapshots"
 
 
 def _compacted_upto(table_dir: str) -> int | None:
-    """Highest batch_id folded into a published snapshot, or None."""
-    marker = _snapshot_root(table_dir) / "_LATEST"
+    """Highest batch_id folded into a published snapshot, or None. Reads
+    through the FileSystem API — table_dir may be a posix path, a
+    ``file://`` URI, or an object-store URI (pipeline.fsio)."""
+    from esmarc_spark.pipeline import fsio
+
+    raw = fsio.read_text(fsio.join(_snapshot_root(table_dir), "_LATEST"))
     try:
-        return int(marker.read_text().strip())
-    except (FileNotFoundError, ValueError):
+        return int(raw.strip()) if raw is not None else None
+    except ValueError:
         return None
 
 
-def _batch_dirs(table_dir: str) -> list:
-    from pathlib import Path
+def _batch_dirs(table_dir: str) -> list[str]:
+    """batch_id=N child-directory NAMES, ascending by N (fsio listing —
+    works on object-store prefixes too)."""
+    from esmarc_spark.pipeline import fsio
 
-    root = Path(table_dir)
-    if not root.is_dir():
-        return []
     return sorted(
-        (p for p in root.iterdir() if p.is_dir() and p.name.startswith("batch_id=")),
-        key=lambda p: int(p.name.split("=")[1]),
+        fsio.list_child_dirs(table_dir, "batch_id="),
+        key=lambda n: int(n.split("=")[1]),
     )
 
 
@@ -376,17 +377,19 @@ def read_session_table(spark: SparkSession, table_dir: str) -> DataFrame:
     the view is snapshot-N ∪ batches>N — so readers are consistent at
     EVERY intermediate state of compaction, including a compactor that
     crashed mid-way."""
+    from esmarc_spark.pipeline import fsio
+
     upto = _compacted_upto(table_dir)
     parts = []
     if upto is not None:
         parts.append(
-            spark.read.parquet(str(_snapshot_root(table_dir) / f"upto={upto}"))
+            spark.read.parquet(fsio.join(_snapshot_root(table_dir), f"upto={upto}"))
             .withColumn("batch_id", F.lit(upto))
         )
         live = [
-            str(p)
-            for p in _batch_dirs(table_dir)
-            if int(p.name.split("=")[1]) > upto
+            fsio.join(table_dir, name)
+            for name in _batch_dirs(table_dir)
+            if int(name.split("=")[1]) > upto
         ]
         if live:
             parts.append(
@@ -434,26 +437,29 @@ def compact_session_table(
     plus any newer batches. Re-running compaction resumes cleanup.
     ``_fail_after`` ("snapshot" | "marker") injects crashes for tests.
     Run between streaming runs, same cadence as any log-structured
-    table's compaction."""
-    import os
-    import shutil
+    table's compaction.
+
+    Round 5: every filesystem operation (marker publish, listing, GC)
+    goes through the pyarrow FileSystem API (pipeline.fsio), so
+    ``table_dir`` may be a posix path, a ``file://`` URI, or an
+    object-store URI; the marker publish strategy per backend is
+    documented in fsio.write_text_atomic."""
+    from esmarc_spark.pipeline import fsio
 
     prev = _compacted_upto(table_dir)
-    dirs = _batch_dirs(table_dir)
-    ids = [int(p.name.split("=")[1]) for p in dirs]
+    names = _batch_dirs(table_dir)
+    ids = [int(n.split("=")[1]) for n in names]
     new_ids = [i for i in ids if prev is None or i > prev]
     snap_root = _snapshot_root(table_dir)
     if new_ids:
         top = max(new_ids)
-        snap_root.mkdir(parents=True, exist_ok=True)
+        fsio.mkdirs(snap_root)
         read_session_table(spark, table_dir).write.mode("overwrite").parquet(
-            str(snap_root / f"upto={top}")
+            fsio.join(snap_root, f"upto={top}")
         )
         if _fail_after == "snapshot":
             raise RuntimeError("injected crash after snapshot write")
-        tmp = snap_root / "_LATEST.tmp"
-        tmp.write_text(str(top))
-        os.replace(tmp, snap_root / "_LATEST")  # the atomic commit point
+        fsio.write_text_atomic(fsio.join(snap_root, "_LATEST"), str(top))
         if _fail_after == "marker":
             raise RuntimeError("injected crash after marker publish")
     else:
@@ -461,11 +467,9 @@ def compact_session_table(
         if top is None:
             return
     # garbage collection — safe to crash/resume at any point
-    for p in dirs:
-        if int(p.name.split("=")[1]) <= top:
-            shutil.rmtree(p, ignore_errors=True)
-    for p in snap_root.iterdir():
-        if p.is_dir() and p.name.startswith("upto=") and int(
-            p.name.split("=")[1]
-        ) < top:
-            shutil.rmtree(p, ignore_errors=True)
+    for n in names:
+        if int(n.split("=")[1]) <= top:
+            fsio.delete_dir(fsio.join(table_dir, n))
+    for n in fsio.list_child_dirs(snap_root, "upto="):
+        if int(n.split("=")[1]) < top:
+            fsio.delete_dir(fsio.join(snap_root, n))

@@ -287,10 +287,17 @@ def test_sessionize_table_sink_exactly_once(spark, tmp_path):
     assert view() == want_c
 
 
-def test_compaction_crash_replay_consistent(spark, tmp_path):
+@pytest.mark.parametrize("scheme", ["posix", "file"])
+def test_compaction_crash_replay_consistent(spark, tmp_path, scheme):
     """VERDICT r3 #3 / ADVICE: a compactor killed between any two steps
     must leave readers with a consistent latest-wins view, and a re-run
-    must finish the job."""
+    must finish the job.
+
+    Parameterized over a posix path and a ``file://`` URI (VERDICT r4
+    #2): the URI leg drives the whole publish protocol — marker, batch
+    listing, GC — through the pyarrow FileSystem API (pipeline.fsio)
+    with zero posix calls; assertions inspect the same storage through
+    its local mount."""
     import datetime as dt
     import os
 
@@ -303,17 +310,18 @@ def test_compaction_crash_replay_consistent(spark, tmp_path):
     base = dt.datetime(2024, 4, 1)
     in_dir = str(tmp_path / "events")
     table = str(tmp_path / "sessions")
+    table_ref = f"file://{table}" if scheme == "file" else table
     schema = "user_id long, event_id long, ts timestamp"
     rows = [(u, u * 10 + k, base + dt.timedelta(minutes=5 * k)) for u in range(3) for k in range(3)]
     spark.createDataFrame(rows, schema).repartition(1).write.parquet(in_dir)
     run_sessionize_to_table(
-        spark, in_dir, table, str(tmp_path / "ckpt"), gap_minutes=30
+        spark, in_dir, table_ref, str(tmp_path / "ckpt"), gap_minutes=30
     )
 
     def view():
         return {
             (r.user_id, r.session_seq): r.n_events
-            for r in read_session_table(spark, table).collect()
+            for r in read_session_table(spark, table_ref).collect()
         }
 
     want = view()
@@ -322,19 +330,19 @@ def test_compaction_crash_replay_consistent(spark, tmp_path):
     # crash AFTER the snapshot write, BEFORE the marker publish: readers
     # must still see the old (un-compacted) state — unchanged view
     with pytest.raises(RuntimeError, match="injected"):
-        compact_session_table(spark, table, _fail_after="snapshot")
+        compact_session_table(spark, table_ref, _fail_after="snapshot")
     assert not os.path.exists(f"{table}.snapshots/_LATEST")
     assert view() == want
 
     # crash AFTER the marker publish, BEFORE cleanup: readers use the
     # snapshot; leftover folded batch dirs are ignored
     with pytest.raises(RuntimeError, match="injected"):
-        compact_session_table(spark, table, _fail_after="marker")
+        compact_session_table(spark, table_ref, _fail_after="marker")
     assert os.path.exists(f"{table}.snapshots/_LATEST")
     assert [p for p in os.listdir(table) if p.startswith("batch_id=")]
     assert view() == want
 
     # resumed run completes garbage collection without changing the view
-    compact_session_table(spark, table)
+    compact_session_table(spark, table_ref)
     assert [p for p in os.listdir(table) if p.startswith("batch_id=")] == []
     assert view() == want
