@@ -52,6 +52,17 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return s
 
 
+def _strip_expr(s: F.Column) -> F.Column:
+    """The deterministic tag-strip + entity decode + whitespace collapse
+    over an already-decoded STRING column."""
+    s = F.regexp_replace(s, r"(?is)<(script|style|head)\b.*?</\1>", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, ch in _ENTITIES.items():
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.regexp_replace(s, r"(?U)\s+", " ")
+    return F.trim(s)
+
+
 def extract_text_expr(html: F.Column) -> F.Column:
     """Pure-JVM html->text: the same deterministic strip as the pandas UDF,
     as a regexp_replace chain inside whole-stage codegen — NO Python in the
@@ -66,17 +77,72 @@ def extract_text_expr(html: F.Column) -> F.Column:
     sequence with U+FFFD — verified byte-identical to Python's
     ``errors="replace"`` incl. truncated multi-byte sequences
     (tests/test_webtext_pipeline.py::test_extract_non_utf8_lossy)."""
-    s = F.make_valid_utf8(html.cast("string"))
-    s = F.regexp_replace(s, r"(?is)<(script|style|head)\b.*?</\1>", " ")
-    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
-    for ent, ch in _ENTITIES.items():
-        s = F.replace(s, F.lit(ent), F.lit(ch))
-    s = F.regexp_replace(s, r"(?U)\s+", " ")
-    return F.trim(s)
+    return _strip_expr(F.make_valid_utf8(html.cast("string")))
+
+
+# --- charset-aware decode (round 5 — VERDICT r4 #6) -------------------------
+#
+# Supported charsets (everything else falls back to the UTF-8
+# replacement decode, documented):
+#   utf-8 family ........ make_valid_utf8 (the byte-identical default)
+#   ISO-8859-1 family ... decode(html,'ISO-8859-1') — total (every byte
+#                         sequence is valid Latin-1), pure JVM
+#   windows-1252 family . Latin-1 decode + translate of the 27 printable
+#                         0x80-0x9F remappings. Spark 4's ANSI decode()
+#                         whitelists only a handful of charsets (and the
+#                         legacy javaCharsets escape hatch ABORTS on
+#                         cp1252's five undefined bytes), so the
+#                         translate form is both total and exact: it
+#                         matches Python bytes.decode('cp1252') wherever
+#                         that succeeds, and maps the undefined bytes
+#                         0x81/8D/8F/90/9D to their C1 controls — the
+#                         WHATWG encoding spec's behavior for browsers.
+#   us-ascii ............ subset of all of the above; default path.
+
+_LATIN1_ALIASES = ("iso-8859-1", "iso8859-1", "iso_8859-1", "latin-1", "latin1", "l1")
+_CP1252_ALIASES = ("windows-1252", "cp1252", "x-cp1252", "cp-1252", "win-1252")
+_CP1252_DEFINED = [b for b in range(0x80, 0xA0) if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)]
+_CP1252_FROM = "".join(chr(b) for b in _CP1252_DEFINED)
+_CP1252_TO = bytes(_CP1252_DEFINED).decode("cp1252")
+
+# HTML5's meta-charset sniff, reduced to one regex over the (unvalidated
+# byte-preserving) cast of the first chunk: ASCII bytes survive the cast
+# verbatim, which is all <meta charset=...> needs
+_META_CHARSET_RE = r"""(?i)<meta[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)"""
+
+
+def charset_sniff_expr(html: F.Column, charset_col: F.Column | None = None) -> F.Column:
+    """Best-effort charset for a page: the HTTP header's token when the
+    reader captured one (``read_warc(with_charset=True)``), else the
+    html meta tag within the first 4096 chars (HTML5 prescan), else
+    null."""
+    meta = F.lower(
+        F.regexp_extract(
+            F.substring(html.cast("string"), 1, 4096), _META_CHARSET_RE, 1
+        )
+    )
+    sniff = F.nullif(meta, F.lit(""))
+    if charset_col is not None:
+        sniff = F.coalesce(F.nullif(F.lower(charset_col), F.lit("")), sniff)
+    return sniff
+
+
+def decode_html_expr(html: F.Column, charset: F.Column) -> F.Column:
+    """html bytes -> string under the sniffed charset (table above);
+    unknown/absent charsets take the byte-identical UTF-8 default."""
+    latin1 = F.decode(html, "ISO-8859-1")
+    return (
+        F.when(charset.isin(*_CP1252_ALIASES), F.translate(latin1, _CP1252_FROM, _CP1252_TO))
+        .when(charset.isin(*_LATIN1_ALIASES), latin1)
+        .otherwise(F.make_valid_utf8(html.cast("string")))
+    )
 
 
 def with_extracted_text(
-    webtext: DataFrame, jvm: bool = True, main_content: bool = False
+    webtext: DataFrame,
+    jvm: bool = True,
+    main_content: bool = False,
+    charset_aware: bool = False,
 ) -> DataFrame:
     """S1: fill null ``text`` from ``html``; stamp extraction provenance.
 
@@ -88,15 +154,28 @@ def with_extracted_text(
     blocks dropped by link density). The DEFAULT stays the byte-identical
     full-page contract, which mention offsets and the parity gates
     depend on; opt in per pipeline for training-data curation.
+
+    charset_aware=True decodes legacy-encoded pages correctly instead of
+    replacement-mangling them: the charset comes from the reader's
+    ``charset`` column when present (read_warc with_charset=True), else
+    an HTML5-prescan meta sniff; Latin-1 and CP1252 decode exactly
+    (decode_html_expr's table), everything else keeps the UTF-8 default.
+    Pure codegen either way — still no Python on the hot path.
     """
+    if charset_aware:
+        charset = charset_sniff_expr(
+            F.col("html"),
+            F.col("charset") if "charset" in webtext.columns else None,
+        )
+        decoded = decode_html_expr(F.col("html"), charset)
+    else:
+        decoded = F.make_valid_utf8(F.col("html").cast("string"))
     if main_content:
         from esmarc_spark.ops.boilerplate import extract_main_text
 
-        extractor = extract_main_text(
-            F.make_valid_utf8(F.col("html").cast("string"))
-        )
+        extractor = extract_main_text(decoded)
     elif jvm:
-        extractor = extract_text_expr(F.col("html"))
+        extractor = _strip_expr(decoded)
     else:
         extractor = extract_text_udf(F.col("html"))
     extracted = F.when(F.col("text").isNull() & F.col("html").isNotNull(), extractor)

@@ -352,16 +352,31 @@ def _http_status(payload: bytes, idx: int) -> int | None:
         return None
 
 
+def _header_charset(http_headers: bytes) -> str | None:
+    """charset token of the HTTP Content-Type header, lowercased, or
+    None ("Content-Type: text/html; charset=ISO-8859-1" -> "iso-8859-1")."""
+    ct = _parse_headers(http_headers).get("content-type", "")
+    _, sep, rest = ct.lower().partition("charset=")
+    if not sep:
+        return None
+    token = rest.split(";")[0].strip().strip("\"'").strip()
+    return token or None
+
+
 def _record_rows(
     stream,
     errors: str,
     decode_http: bool,
     keep_status=None,
-) -> Iterator[tuple[str, object, bytes, str | None, str | None]]:
+    with_charset: bool = False,
+) -> Iterator[tuple]:
+    """Rows are (url, warc_ts, html, text, lang[, charset]) — the
+    charset element is appended only when ``with_charset`` is on."""
+    tail = (None,) if with_charset else ()
     for headers, payload, err in _iter_records(stream):
         if headers is None:
             if errors == "quarantine":
-                yield QUARANTINE_URL, None, payload, err, None
+                yield (QUARANTINE_URL, None, payload, err, None) + tail
             continue
         if headers.get("warc-type") != "response":
             continue
@@ -380,7 +395,7 @@ def _record_rows(
                     payload[:4096],
                     "response payload without HTTP blank line",
                     None,
-                )
+                ) + tail
             continue
         if keep_status is not None:
             status = _http_status(payload, idx)
@@ -389,13 +404,16 @@ def _record_rows(
         body = payload[idx + len(_CRLF2) :]
         if decode_http:
             body = _http_decode(payload[:idx], body)
-        yield (
+        row = (
             url,
             _parse_warc_date(headers.get("warc-date")),
             body,
             None,
             None,
         )
+        if with_charset:
+            row += (_header_charset(payload[:idx]),)
+        yield row
 
 
 def _list_members(fs, path: str) -> list[str]:
@@ -428,7 +446,13 @@ def _list_members(fs, path: str) -> list[str]:
     return sorted(out)
 
 
-def _arrow_parser(errors: str, decode_http: bool, keep_status=None, filesystem=None):
+def _arrow_parser(
+    errors: str,
+    decode_http: bool,
+    keep_status=None,
+    filesystem=None,
+    with_charset: bool = False,
+):
     """mapInArrow closure shared by the batch and streaming readers.
 
     mapInArrow, not mapInPandas: the record tuples become Arrow arrays
@@ -436,15 +460,16 @@ def _arrow_parser(errors: str, decode_http: bool, keep_status=None, filesystem=N
     ~1.4x on ingest throughput — the html BYTES dominate the batch)."""
     import pyarrow as pa
 
-    arrow_schema = pa.schema(
-        [
-            pa.field("url", pa.string()),
-            pa.field("warc_ts", pa.timestamp("us")),
-            pa.field("html", pa.binary()),
-            pa.field("text", pa.string()),
-            pa.field("lang", pa.string()),
-        ]
-    )
+    fields = [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+    ]
+    if with_charset:
+        fields.append(pa.field("charset", pa.string()))
+    arrow_schema = pa.schema(fields)
 
     def parse(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         def flush(rows):
@@ -468,7 +493,7 @@ def _arrow_parser(errors: str, decode_http: bool, keep_status=None, filesystem=N
                 try:
                     rows = []
                     for row in _record_rows(
-                        stream, errors, decode_http, keep_status
+                        stream, errors, decode_http, keep_status, with_charset
                     ):
                         rows.append(row)
                         if len(rows) >= _BATCH_RECORDS:
@@ -489,8 +514,17 @@ def read_warc(
     decode_http: bool = False,
     keep_status: tuple | None = None,
     filesystem=None,
+    with_charset: bool = False,
 ) -> DataFrame:
     """Read WARC file(s) into (url, warc_ts, html, text, lang).
+
+    with_charset=True appends a ``charset`` column — the charset token
+    of each response's HTTP Content-Type header (lowercased; null when
+    the header names none). Feed it to ``with_extracted_text(...,
+    charset_aware=True)`` so legacy-encoded pages (Latin-1/CP1252 — a
+    real few percent of Common Crawl) decode correctly instead of
+    replacement-mangling; ``html`` stays the exact crawled bytes either
+    way.
 
     ``path`` may be local, a ``file:`` URI, or an object-store URI
     (``s3://``/``gs://``/``hdfs://`` — anything
@@ -560,9 +594,10 @@ def read_warc(
             .repartition(spark.sparkContext.defaultParallelism)
         )
 
+    schema = WEBTEXT_SCHEMA + (", charset string" if with_charset else "")
     return files.mapInArrow(
-        _arrow_parser(errors, decode_http, keep_status, filesystem),
-        schema=WEBTEXT_SCHEMA,
+        _arrow_parser(errors, decode_http, keep_status, filesystem, with_charset),
+        schema=schema,
     )
 
 
@@ -579,6 +614,7 @@ def read_warc_stream(
     decode_http: bool = False,
     max_files_per_trigger: int | None = None,
     keep_status: tuple | None = None,
+    with_charset: bool = False,
 ) -> DataFrame:
     """STREAMING WARC source: new ``*.warc.gz`` members landing under
     ``path`` become webtext rows — S0 as a Structured Streaming source
@@ -603,26 +639,32 @@ def read_warc_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path).select("path")
+    schema = WEBTEXT_SCHEMA + (", charset string" if with_charset else "")
     return files.mapInArrow(
-        _arrow_parser(errors, decode_http, keep_status), schema=WEBTEXT_SCHEMA
+        _arrow_parser(errors, decode_http, keep_status, None, with_charset),
+        schema=schema,
     )
 
 
 def write_warc_fixture(path: str, records: list[tuple]) -> None:
     """Deterministic WARC writer for tests/fixtures: (url, iso_ts, html
-    [, version]) response records plus one non-response record that
-    readers must skip. ``html`` may be str (UTF-8-encoded) or raw bytes.
-    Writes valid ISO 28500 framing (version line, headers, blank line,
-    payload, record separator)."""
+    [, version [, content_type]]) response records plus one non-response
+    record that readers must skip. ``html`` may be str (UTF-8-encoded)
+    or raw bytes. Writes valid ISO 28500 framing (version line, headers,
+    blank line, payload, record separator)."""
     import gzip
 
     blocks: list[bytes] = []
     for rec in records:
         url, ts, html = rec[0], rec[1], rec[2]
         version = rec[3] if len(rec) > 3 else "1.0"
+        ctype = rec[4] if len(rec) > 4 else "text/html"
         body = html if isinstance(html, bytes) else html.encode()
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            b"HTTP/1.1 200 OK\r\nContent-Type: "
+            + ctype.encode()
+            + b"\r\n\r\n"
+            + body
         )
         blocks.append(
             (
