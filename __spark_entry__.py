@@ -249,6 +249,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("curl")
         )
 
+    def crawl_pipeline(spark, sf):
+        # the composed "realistic crawl" (round 5): raw WARC bytes with
+        # chunked/gzip HTTP encodings, non-200 statuses, Latin-1/CP1252
+        # charsets, canonical-duplicate crawls, and malformed frames ->
+        # quarantine + status filter + canonical dedup + charset-aware
+        # main-content S1 + lang gate -> typed triples. The oracle
+        # replays everything downstream of the byte framing in DuckDB
+        # over the generator-vendored expected parse.
+        from esmarc_spark.ops.crawl import crawl_pipeline as _cp
+
+        _ensure_shipped(spark)
+        return _cp(spark, "/root/repo/tests/golden/realcrawl.warc.gz")
+
     def boilerplate_main_text(spark, sf):
         # block-level boilerplate removal under the hash gate: each doc
         # wrapped in a nav + footer of link-dense blocks; the extractor
@@ -764,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": warc_ingest,
         "warc_quarantine": warc_quarantine,
         "url_canonical_groups": url_canonical_groups,
+        "crawl_pipeline": crawl_pipeline,
         "boilerplate_main_text": boilerplate_main_text,
         "events_sessions_stateful": events_sessions_stateful,
         "text_stats": text_stats,
@@ -915,6 +929,9 @@ GROUP BY lang_guess ORDER BY lang_guess
             "columns={url: 'VARCHAR', warc_ts: 'VARCHAR', html_text: 'VARCHAR'}) "
             "ORDER BY url"
         ),
+        "crawl_pipeline": __import__(
+            "esmarc_spark.ops.crawl", fromlist=["crawl_pipeline_sql"]
+        ).crawl_pipeline_sql("/root/repo/tests/golden/realcrawl_expected.ldj"),
         "dedup_exact_groups": dedup.FINGERPRINT_GROUPS_SQL,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(),

@@ -63,24 +63,29 @@ def canonical_url(url: F.Column) -> F.Column:
     )
 
 
-# the same six rules in DuckDB SQL as a CTE chain, parameterized by the
-# url-producing SELECT — used to build cross-engine oracles
-def canonical_groups_sql(url_select: str) -> str:
-    """DuckDB: canonical-url group counts over ``url_select`` (a SELECT
-    producing one ``url`` column)."""
+# the same six rules in DuckDB SQL, parameterized by the url column —
+# used to build cross-engine oracles. A staged subquery chain keeps each
+# derived term computed once (the scalar-expression form would re-inline
+# no_frag/raw_sh several times).
+def canonical_sql_select(url_select: str, passthrough: str = "") -> str:
+    """DuckDB subquery producing ``curl`` (the canonical form of column
+    ``url``) plus any ``passthrough`` columns, over ``url_select`` (a
+    SELECT producing at least a ``url`` column). Single source of truth
+    for the oracle rendering of the six rules."""
+    pt = ("," + passthrough) if passthrough else ""
     return f"""
-WITH raw AS ({url_select}),
- s1 AS (SELECT regexp_replace(url, '#.*$', '') AS no_frag FROM raw),
- s2 AS (SELECT regexp_replace(no_frag, '\\?.*$', '') AS base,
+WITH _raw AS ({url_select}),
+ _s1 AS (SELECT regexp_replace(url, '#.*$', '') AS no_frag, url{pt} FROM _raw),
+ _s2 AS (SELECT regexp_replace(no_frag, '\\?.*$', '') AS base,
                CASE WHEN contains(no_frag, '?')
                     THEN regexp_extract(no_frag, '\\?(.*)$', 1)
-                    ELSE '' END AS query
-        FROM s1),
- s3 AS (SELECT regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS raw_sh,
-               base, query FROM s2),
- s4 AS (SELECT lower(raw_sh) AS sh0,
-               substring(base, length(raw_sh) + 1) AS rest, query FROM s3),
- s5 AS (SELECT regexp_replace(regexp_replace(sh0,
+                    ELSE '' END AS query, url{pt}
+        FROM _s1),
+ _s3 AS (SELECT regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS raw_sh,
+               base, query, url{pt} FROM _s2),
+ _s4 AS (SELECT lower(raw_sh) AS sh0,
+               substring(base, length(raw_sh) + 1) AS rest, query, url{pt} FROM _s3),
+ _s5 AS (SELECT regexp_replace(regexp_replace(sh0,
                  '^(http://[^:/?#]+):80$', '\\1'),
                  '^(https://[^:/?#]+):443$', '\\1') AS sh,
                CASE WHEN rest IN ('', '/') THEN ''
@@ -89,11 +94,20 @@ WITH raw AS ({url_select}),
                  string_split(query, '&'),
                  p -> p <> '' AND NOT regexp_matches(p,
                       '^(utm_[^=]*|gclid|fbclid|msclkid)(=|$)'))), '&'),
-                 '') AS qs
-        FROM s4)
+                 '') AS qs, url{pt}
+        FROM _s4)
 SELECT sh || rest_norm || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS curl,
-       count(*) AS n
-FROM s5 GROUP BY curl ORDER BY curl
+       url{pt}
+FROM _s5"""
+
+
+def canonical_groups_sql(url_select: str) -> str:
+    """DuckDB: canonical-url group counts over ``url_select`` (a SELECT
+    producing one ``url`` column)."""
+    return f"""
+SELECT curl, count(*) AS n
+FROM ({canonical_sql_select(url_select)})
+GROUP BY curl ORDER BY curl
 """
 
 
