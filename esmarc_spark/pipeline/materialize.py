@@ -179,8 +179,10 @@ def sink_triples(
 
     fmt="iceberg": DataSourceV2 ``writeTo(<catalog.table>)`` append —
     requires an Iceberg catalog on the session (spark.sql.catalog.* +
-    iceberg-spark-runtime jars; not present in this sandbox, so this
-    branch is exercised on real clusters only). Idempotent re-runs use
+    iceberg-spark-runtime jars; not present in this sandbox, and the v1
+    session catalog rejects DataFrameWriterV2 writes, so the branch is
+    executed on real clusters only — its wiring is syntax-verified with
+    a mocked catalog in tests/test_sinks.py). Idempotent re-runs use
     ``overwritePartitions()`` instead of append.
 
     fmt="parquet" (the sandbox stand-in and the tested path): partitioned
