@@ -64,6 +64,15 @@ def _cached_pattern(cache_key: str, surfaces: list[str]) -> re.Pattern:
 def detect_mentions(webtext: DataFrame, surface_forms: list[str]) -> DataFrame:
     """Pandas-UDF scan: (url, text, lang) -> exploded mention rows.
 
+    NOT the hot path, and it ANTI-SCALES at high thread counts: the
+    per-row Python ``finditer`` loop makes Python workers compete with
+    the JVM for cores (round-1 measurement — throughput DROPPED going
+    8->32 local threads). It exists only for exact char-offset /
+    word-boundary semantics (punctuation-adjacent matches) that the
+    token n-gram join cannot express; ``run_pipeline`` defaults to the
+    JVM join path (mentions_mode="ngram") and nobody should flip
+    ``mentions_mode="regex"`` at corpus scale expecting parity.
+
     The gazetteer ships as a SparkContext broadcast variable (torrent
     distribution, once per executor) rather than a closure capture that
     would ride every task; the compiled pattern is memoized per python
