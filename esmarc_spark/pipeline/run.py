@@ -35,6 +35,9 @@ def run_pipeline(
     canonical_map: DataFrame | None = None,
     mentions_mode: str = "ngram",
     source_index: str = "webtext",
+    canonical_url_dedup: bool = False,
+    main_content: bool = False,
+    charset_aware: bool = False,
 ) -> DataFrame:
     """S1 extract -> dedup -> S2 mentions -> S3 link -> (S4 canonicalize)
     -> S5 triples. Returns the triples DataFrame (lazy).
@@ -47,8 +50,26 @@ def run_pipeline(
     Pass ``canonical_map`` (precomputed uri->canonical dim) when calling in
     a loop — recomputing connected components per partition would repeat the
     iterative join cascade for every partition.
+
+    The round-5 crawl-curation knobs (all default OFF — the defaults
+    keep the byte-identical contract the parity gates pin):
+
+    * canonical_url_dedup: collapse case/port/tracking-param url
+      variants (ops.urlnorm) BEFORE extraction, so doomed duplicate
+      rows never pay S1; runs in front of the per-url dedup, which then
+      only breaks exact-recrawl ties.
+    * main_content / charset_aware: forwarded to with_extracted_text
+      (boilerplate removal; header/meta charset decode).
     """
-    docs = dedup_by_url(with_extracted_text(webtext))
+    if canonical_url_dedup:
+        from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
+
+        webtext = dedup_by_canonical_url(webtext)
+    docs = dedup_by_url(
+        with_extracted_text(
+            webtext, main_content=main_content, charset_aware=charset_aware
+        )
+    )
     if mentions_mode == "ngram":
         mentions = detect_mentions_ngram(docs, gazetteer)
     elif mentions_mode == "token":

@@ -209,3 +209,45 @@ def test_sink_triples_partition_overwrite_idempotent(spark, tmp_path):
     # partition values come back type-inferred (DATE) — compare as strings
     rows = {(r.subj, str(r.pday)) for r in spark.read.parquet(out).collect()}
     assert rows == {("s1b", "2024-01-01"), ("s2", "2024-01-02")}
+
+
+def test_run_pipeline_curation_flags(spark, gazetteer):
+    """Round 5: the crawl-curation knobs are first-class on run_pipeline —
+    canonical-url dedup collapses tracking variants before S1, and
+    main_content/charset_aware forward to extraction; defaults stay the
+    byte-identical contract."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1)
+    nav = "<div><a href='/'>Home</a> <a href='/x'>More</a> <a href='/y'>Nav</a></div>"
+    body = "<p>The Dresden mention appears in a long enough paragraph right here.</p>"
+    rows = [
+        # two crawls of one logical page (tracking param; later wins)
+        ("https://A.example/p/", t0, (nav + body).encode(), None, "en"),
+        ("https://a.example/p?utm_source=x", t0 + dt.timedelta(days=1),
+         (nav + body).encode(), None, "en"),
+        # latin-1 page with meta charset carrying a mention
+        ("https://a.example/q", t0,
+         ('<meta charset="ISO-8859-1">' + nav +
+          "<p>The café in Leipzig is also a long enough paragraph to keep.</p>"
+          ).encode("latin-1"), None, "en"),
+    ]
+    wt = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    triples = run_pipeline(
+        wt, gazetteer,
+        canonical_url_dedup=True, main_content=True, charset_aware=True,
+    ).collect()
+    subjects = {r.subj for r in triples}
+    # canonical dedup: one subject for the /p variants, under the canonical url
+    assert "https://a.example/p" in subjects
+    assert not any("utm_source" in s or "A.example" in s for s in subjects)
+    assert "https://a.example/q" in subjects
+    # main_content: nav links do not appear in any preferredName/obj text
+    assert not any("Home" in r.obj for r in triples)
+
+    # defaults unchanged: flags off -> raw urls survive as subjects
+    base = run_pipeline(wt, gazetteer).collect()
+    base_subjects = {r.subj for r in base}
+    assert "https://A.example/p/" in base_subjects
