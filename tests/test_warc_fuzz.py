@@ -103,3 +103,30 @@ def test_corruption_never_raises(records, pos, kind, errors):
                 (r[0], bytes(r[2])) for r in rows
             ], (kind, pos, url)
         offset += len(block)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    _records,
+    st.integers(min_value=0, max_value=10_000),
+    st.sampled_from(["truncate", "flip", "insert"]),
+)
+def test_quarantine_rows_are_bounded(records, pos, kind):
+    """Round 5: whatever the corruption, every quarantine row's payload
+    is capped (<= 4096 bytes) — the bounded-readline/bounded-header
+    contract that keeps a garbage member from ballooning task memory."""
+    data = _member(records)
+    pos = pos % (len(data) + 1)
+    if kind == "truncate":
+        corrupted = data[:pos]
+    elif kind == "flip":
+        corrupted = (
+            data
+            if pos >= len(data)
+            else data[:pos] + bytes([data[pos] ^ 0x5A]) + data[pos + 1 :]
+        )
+    else:
+        corrupted = data[:pos] + b"\x00GARBAGE\xff\r\n" + data[pos:]
+    for r in _parse(corrupted, "quarantine"):
+        if r[0] == "__warc_error__":
+            assert len(r[2]) <= 4096, (kind, pos, len(r[2]))
