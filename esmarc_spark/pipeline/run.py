@@ -132,12 +132,16 @@ def _backfill_one_job(
     )
 
     try:
-        # partition-column inference types pday as DATE — cast back to the
-        # string form the lineage table and `pending` use
+        # filter on the RAW partition column first — casting pday before
+        # the filter would wrap the partition column in an expression and
+        # defeat partition pruning, turning the lineage count-back into a
+        # full scan of every day ever written. Partition inference types
+        # pday as DATE, so the IN-list literals are coerced (not the
+        # column); the string cast happens after, for the lineage keys.
+        written = spark.read.parquet(f"{out_root}/triples")
         written = (
-            spark.read.parquet(f"{out_root}/triples")
+            written.where(F.col("pday").isin(pending))
             .withColumn("pday", F.col("pday").cast("string"))
-            .where(F.col("pday").isin(pending))
         )
         tcounts = {
             r["pday"]: r
