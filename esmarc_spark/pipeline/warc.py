@@ -118,6 +118,22 @@ def _is_remote(path: str) -> bool:
     return "://" in path and not path.startswith("file:")
 
 
+# Hadoop spells object-store schemes its own way (s3a:// from
+# spark.read/readStream listings, legacy s3n://); pyarrow's from_uri
+# only knows the canonical forms. Alias before resolving so a path that
+# came out of a Spark listing opens through the same connector.
+_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
+
+
+def _pa_from_uri(path: str):
+    import pyarrow.fs as pafs
+
+    scheme, sep, rest = path.partition("://")
+    if sep and scheme in _SCHEME_ALIASES:
+        path = f"{_SCHEME_ALIASES[scheme]}://{rest}"
+    return pafs.FileSystem.from_uri(path)
+
+
 def _open_member(
     path: str, content: bytes | None = None, filesystem=None
 ) -> _PushbackStream:
@@ -145,9 +161,7 @@ def _open_member(
             filesystem.open_input_stream(path, compression=None)
         )
     elif _is_remote(path):
-        import pyarrow.fs as pafs
-
-        fs, rel = pafs.FileSystem.from_uri(path)
+        fs, rel = _pa_from_uri(path)
         raw = io.BufferedReader(fs.open_input_stream(rel, compression=None))
     else:
         local = path
@@ -567,9 +581,7 @@ def read_warc(
         if filesystem is not None:
             members = _list_members(filesystem, path)
         else:
-            import pyarrow.fs as pafs
-
-            fs, rel = pafs.FileSystem.from_uri(path)
+            fs, rel = _pa_from_uri(path)
             scheme, _, rest = path.partition("://")
             netloc = rest.split("/", 1)[0]
             members = [

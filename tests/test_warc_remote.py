@@ -150,3 +150,21 @@ def test_eof_garbage_tail_is_quarantined_not_silent():
         ("http://x/", None),
         (QUARANTINE_URL, "bad version line"),
     ]
+
+
+def test_hadoop_scheme_aliases_resolve():
+    """s3a:// (what a Spark/Hadoop listing emits) must resolve through
+    pyarrow's s3 connector; file:// passes through untouched."""
+    from esmarc_spark.pipeline.warc import _pa_from_uri
+
+    fs, rel = _pa_from_uri("file:///tmp/x.warc.gz")
+    assert type(fs).__name__ == "LocalFileSystem" and rel == "/tmp/x.warc.gz"
+    try:
+        fs, rel = _pa_from_uri("s3a://bucket/key.warc.gz")
+    except Exception as e:  # no credentials/region in the sandbox is fine;
+        # an UNRECOGNIZED-SCHEME error is exactly the bug this guards
+        assert "empty scheme" not in str(e).lower()
+        assert "unrecognized" not in str(e).lower(), e
+    else:
+        assert type(fs).__name__ == "S3FileSystem"
+        assert rel == "bucket/key.warc.gz"
