@@ -138,6 +138,84 @@ def decode_html_expr(html: F.Column, charset: F.Column) -> F.Column:
     )
 
 
+# Charsets the JVM expression path cannot decode totally (Spark 4's
+# decode() whitelist excludes them, and the legacy javaCharsets escape
+# hatch ABORTS on any invalid byte — unusable on crawl data), but
+# Python's codecs handle with errors="replace". A real crawl carries a
+# few percent of these, dominated by the CJK encodings.
+PY_LEGACY_CHARSETS = frozenset(
+    {
+        "shift_jis", "shift-jis", "sjis", "x-sjis", "ms932", "cp932",
+        "euc-jp", "eucjp", "iso-2022-jp",
+        "gbk", "gb2312", "gb18030", "big5", "big5-hkscs",
+        "euc-kr", "euckr", "ks_c_5601-1987",
+        "windows-1250", "windows-1251", "windows-1253", "windows-1254",
+        "windows-1255", "windows-1256", "windows-1257", "windows-1258",
+        "koi8-r", "koi8-u", "tis-620",
+        "iso-8859-2", "iso-8859-3", "iso-8859-4", "iso-8859-5",
+        "iso-8859-6", "iso-8859-7", "iso-8859-8", "iso-8859-9",
+        "iso-8859-13", "iso-8859-15", "iso-8859-16",
+    }
+)
+
+
+def extract_legacy_text(
+    webtext: DataFrame, charsets: frozenset = PY_LEGACY_CHARSETS
+) -> DataFrame:
+    """Opt-in companion to ``charset_aware=True`` for charsets the JVM
+    path cannot decode (Shift-JIS, GBK, EUC-KR, the non-Latin
+    windows-125x family, ...): rows whose charset — the reader's
+    ``charset`` column when present, else the meta sniff — names one get
+    ``text`` filled by an Arrow-batched Python decode+strip
+    (errors="replace", then the exact S1 strip chain), so a following
+    ``with_extracted_text`` leaves them verbatim.
+
+    Split + union, NOT a UDF inside a conditional: a pandas UDF under a
+    ``when()`` is still evaluated for every row (ArrowEvalPython runs
+    before the branch), which would put per-row Python on the whole
+    corpus. Here only the legacy-charset minority (a few percent of a
+    real crawl) crosses into Python; the hot path stays pure JVM.
+    Run BEFORE with_extracted_text; compose order with dedups is free
+    (both preserve arbitrary columns)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    charset_col = (
+        F.col("charset") if "charset" in webtext.columns else None
+    )
+    sniffed = charset_sniff_expr(F.col("html"), charset_col)
+    # null sniff -> null isin -> null mask; coalesce so every row lands
+    # in exactly one branch of the split
+    mask = F.coalesce(
+        F.col("html").isNotNull() & sniffed.isin(*sorted(charsets)),
+        F.lit(False),
+    )
+
+    @pandas_udf(StringType())
+    def dec_strip(html: pd.Series, charset: pd.Series) -> pd.Series:
+        def one(b, c):
+            if b is None:
+                return None
+            try:
+                s = bytes(b).decode(c, errors="replace")
+            except (LookupError, TypeError):
+                s = bytes(b).decode("utf-8", errors="replace")
+            s = _SCRIPT_RE.sub(" ", s)
+            s = _TAG_RE.sub(" ", s)
+            for ent, ch in _ENTITIES.items():
+                s = s.replace(ent, ch)
+            return _WS_RE.sub(" ", s).strip()
+
+        return pd.Series(
+            [one(b, c) for b, c in zip(html, charset)], dtype="object"
+        )
+
+    legacy = webtext.where(mask).withColumn(
+        "text", F.coalesce(F.col("text"), dec_strip(F.col("html"), sniffed))
+    )
+    return webtext.where(~mask).unionByName(legacy)
+
+
 def with_extracted_text(
     webtext: DataFrame,
     jvm: bool = True,

@@ -38,6 +38,7 @@ def run_pipeline(
     canonical_url_dedup: bool = False,
     main_content: bool = False,
     charset_aware: bool = False,
+    legacy_charsets: bool = False,
 ) -> DataFrame:
     """S1 extract -> dedup -> S2 mentions -> S3 link -> (S4 canonicalize)
     -> S5 triples. Returns the triples DataFrame (lazy).
@@ -60,11 +61,18 @@ def run_pipeline(
       only breaks exact-recrawl ties.
     * main_content / charset_aware: forwarded to with_extracted_text
       (boilerplate removal; header/meta charset decode).
+    * legacy_charsets: pre-fill text for Shift-JIS/GBK/... rows via the
+      split-union Arrow path (extract_legacy_text) — only the declared-
+      legacy minority crosses into Python.
     """
     if canonical_url_dedup:
         from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
 
         webtext = dedup_by_canonical_url(webtext)
+    if legacy_charsets:
+        from esmarc_spark.pipeline.extract_text import extract_legacy_text
+
+        webtext = extract_legacy_text(webtext)
     docs = dedup_by_url(
         with_extracted_text(
             webtext, main_content=main_content, charset_aware=charset_aware

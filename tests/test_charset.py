@@ -111,3 +111,61 @@ def test_read_warc_with_charset_column(spark, tmp_path):
     # end-to-end: reader charset feeds the decode
     out = {r.url: r.text for r in with_extracted_text(df, charset_aware=True).collect()}
     assert out["http://a/"] == "café"
+
+
+def test_legacy_charsets_via_python_split(spark):
+    """Shift-JIS/GBK/etc. rows decode through the Arrow split-union path
+    (only they cross into Python); others keep the pure-JVM pipeline and
+    are byte-identical to running without the step."""
+    from esmarc_spark.pipeline.extract_text import extract_legacy_text
+
+    sjis_page = "<p>日本語のページです spark</p>"
+    gbk_page = "<p>中文页面内容 table</p>"
+    utf8_page = "<p>plain utf-8 page</p>"
+    rows = [
+        ("sjis", None, sjis_page.encode("shift_jis"), None, None, "shift_jis"),
+        ("gbk", None, gbk_page.encode("gbk"), None, None, "gbk"),
+        ("utf8", None, utf8_page.encode(), None, None, None),
+        ("preset", None, b"<p>x</p>", "kept text", None, "shift_jis"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA + ", charset string")
+    out = {r.url: r for r in extract_legacy_text(df).collect()}
+    assert out["sjis"].text == _py_reference_text(sjis_page)
+    assert out["gbk"].text == _py_reference_text(gbk_page)
+    assert out["utf8"].text is None  # untouched — S1 fills it later
+    assert out["preset"].text == "kept text"  # existing text wins
+    # composition: the normal S1 pass fills the remaining rows
+    final = {
+        r.url: r.text
+        for r in with_extracted_text(extract_legacy_text(df), charset_aware=True).collect()
+    }
+    assert final["utf8"] == "plain utf-8 page"
+    assert final["sjis"] == _py_reference_text(sjis_page)
+
+
+def test_legacy_split_meta_sniff_without_charset_column(spark):
+    from esmarc_spark.pipeline.extract_text import extract_legacy_text
+
+    page = '<meta charset="shift_jis"><p>テスト ページ</p>'
+    df = spark.createDataFrame(
+        [("u", None, page.encode("shift_jis"), None, None)], SCHEMA
+    )
+    out = extract_legacy_text(df).collect()[0]
+    assert out.text == _py_reference_text(page)
+
+
+def test_legacy_split_python_only_on_matching_rows(spark):
+    """The non-legacy branch's plan has no Python/Arrow eval node."""
+    from esmarc_spark.pipeline.extract_text import extract_legacy_text
+
+    df = spark.createDataFrame(
+        [("u", None, b"<p>x</p>", None, None, None)], SCHEMA + ", charset string"
+    )
+    out = extract_legacy_text(df)
+    # whole plan contains the Arrow node once (legacy branch)...
+    whole = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in whole or "BatchEvalPython" in whole
+    # ...but rows flow to it only under the charset filter: the union's
+    # first (non-legacy) child is a pure filter+scan
+    import re
+    assert re.search(r"Filter .*NOT", whole) or "false" in whole.lower()
