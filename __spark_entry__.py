@@ -281,6 +281,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.md5(extract_main_text(html)).alias("main_md5")
         ).orderBy("doc_id")
 
+    def text_repetition(spark, sf):
+        # Gopher/MassiveText-style repetition filters under the hash
+        # gate: line duplication is synthesized deterministically from
+        # doc_id (identically in the oracle), the top-bigram count is
+        # computed by a DIFFERENT algorithm on each side (row-local
+        # sorted-run fold in Spark, unnest+GROUP BY in DuckDB)
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.text import repetition_stats
+
+        docs = _t(spark, sf, "documents")
+        m = F.pmod(F.col("doc_id"), F.lit(3))
+        t2 = (
+            F.when(m == 0, F.concat_ws("\n", F.col("text"), F.col("text")))
+            .when(m == 1, F.concat_ws("\n", F.col("text"), F.reverse(F.col("text"))))
+            .otherwise(F.col("text"))
+        )
+        return repetition_stats(
+            docs.select("doc_id", t2.alias("text"))
+        ).orderBy("doc_id")
+
+    def pii_scrub(spark, sf):
+        # PII redaction under the hash gate: emails/IPs/phones injected
+        # deterministically from doc_id; counts + md5 of the scrubbed
+        # text must match the identical RE2-safe patterns in DuckDB
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.pii import scrub_docs
+
+        docs = _t(spark, sf, "documents")
+        t2 = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.2."),
+            F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+            F.lit(".7 call +1 (555) 010-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        )
+        return scrub_docs(docs.select("doc_id", t2.alias("text"))).orderBy(
+            "doc_id"
+        )
+
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
 
@@ -781,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_main_text": boilerplate_main_text,
         "events_sessions_stateful": events_sessions_stateful,
         "text_stats": text_stats,
+        "text_repetition": text_repetition,
+        "pii_scrub": pii_scrub,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard": dedup_jaccard,
@@ -928,6 +972,24 @@ GROUP BY lang_guess ORDER BY lang_guess
             "format='newline_delimited', "
             "columns={url: 'VARCHAR', warc_ts: 'VARCHAR', html_text: 'VARCHAR'}) "
             "ORDER BY url"
+        ),
+        "text_repetition": text.repetition_stats_sql(
+            """SELECT doc_id,
+                 CASE doc_id % 3
+                   WHEN 0 THEN text || chr(10) || text
+                   WHEN 1 THEN text || chr(10) || reverse(text)
+                   ELSE text END AS text
+               FROM documents"""
+        ),
+        "pii_scrub": __import__(
+            "esmarc_spark.ops.pii", fromlist=["scrub_docs_sql"]
+        ).scrub_docs_sql(
+            """SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or 10.2.' || CAST(doc_id % 200 AS VARCHAR)
+                 || '.7 call +1 (555) 010-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+               FROM documents"""
         ),
         "crawl_pipeline": __import__(
             "esmarc_spark.ops.crawl", fromlist=["crawl_pipeline_sql"]

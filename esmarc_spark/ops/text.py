@@ -324,3 +324,148 @@ def text_stats(documents: DataFrame) -> DataFrame:
         ),
         "fingerprint",
     )
+
+
+# --- repetition stats (round 5) ---------------------------------------------
+#
+# The Gopher/MassiveText-style repetition filters: heavily-duplicated
+# lines and a dominant word bigram are the classic signatures of
+# boilerplate/spam pages in web-scale training corpora. All three
+# metrics are ROW-LOCAL expressions (map-only, no shuffle, codegen);
+# the line metrics cap at the first _MAX_REP_LINES lines so the
+# per-row O(L^2) membership scan stays bounded on pathological pages
+# (the cap is mirrored in the oracle SQL).
+
+_MAX_REP_LINES = 2048
+
+
+def _rep_lines(text: Column | str = "text") -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.slice(
+        F.filter(F.split(t, "\n"), lambda l: l != ""), 1, _MAX_REP_LINES
+    )
+
+
+def duplicate_line_fraction(text: Column | str = "text") -> Column:
+    """Fraction of (non-empty, first 2048) lines that are repeats of an
+    earlier line: 1 - distinct/total; 0.0 for line-less docs."""
+    lines = _rep_lines(text)
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(lines)).cast("double") / n, ROUND_N)
+    )
+
+
+def duplicate_line_char_fraction(text: Column | str = "text") -> Column:
+    """Fraction of line characters living in lines that occur more than
+    once (char-weighted form of the above)."""
+    lines = _rep_lines(text)
+
+    def line_chars(pred) -> Column:
+        return F.aggregate(
+            F.filter(lines, pred), F.lit(0).cast("long"),
+            lambda a, x: a + F.length(x).cast("long"),
+        )
+
+    total = line_chars(lambda l: F.lit(True))
+    dup = line_chars(
+        lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1
+    )
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(dup.cast("double") / total, ROUND_N)
+    )
+
+
+def top_bigram_fraction(text: Column | str = "text") -> Column:
+    """Occurrence fraction of the most frequent word bigram — computed
+    row-locally in O(n log n) (sort the bigram array, fold the longest
+    equal run) rather than the naive O(n^2) per-gram membership count,
+    so a 10^4-token page costs ~10^5 comparisons, not 10^8."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(t, " ")
+    n = F.size(toks)
+    grams = F.when(n >= 2, F.transform(
+        F.slice(toks, 1, n - 1),
+        lambda x, i: F.concat_ws("\x00", x, F.element_at(toks, i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    srt = F.array_sort(grams)
+    best = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        F.round(best.cast("double") / F.size(grams), ROUND_N)
+    )
+
+
+def repetition_stats(documents: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, dup_line_frac, dup_char_frac, top_bigram_frac) — staged
+    select (same Janino rationale as text_stats)."""
+    return documents.select("doc_id", F.col(text).alias("_t")).select(
+        "doc_id",
+        duplicate_line_fraction("_t").alias("dup_line_frac"),
+        duplicate_line_char_fraction("_t").alias("dup_char_frac"),
+        top_bigram_fraction("_t").alias("top_bigram_frac"),
+    )
+
+
+def repetition_stats_sql(text_select: str) -> str:
+    """DuckDB oracle over ``text_select`` (a SELECT producing doc_id +
+    text): line metrics via the same capped list expressions; the
+    top-bigram count independently via unnest + GROUP BY (a different
+    algorithm than the Spark fold — stronger oracle)."""
+    lines = (
+        "list_filter(string_split(text, chr(10)), l -> l <> '')"
+        f"[1:{_MAX_REP_LINES}]"
+    )
+    return f"""
+WITH src AS ({text_select}),
+lined AS (
+  SELECT doc_id, {lines} AS lines,
+         string_split(text, ' ') AS toks
+  FROM src
+),
+linestats AS (
+  SELECT doc_id,
+    CASE WHEN len(lines) <= 0 THEN 0.0
+         ELSE round(1.0 - cast(len(list_distinct(lines)) AS double) / len(lines), {ROUND_N})
+    END AS dup_line_frac,
+    CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) <= 0 THEN 0.0
+         ELSE round(
+           cast(coalesce(list_sum(list_transform(
+             list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1),
+             x -> length(x))), 0) AS double)
+           / list_sum(list_transform(lines, x -> length(x))), {ROUND_N})
+    END AS dup_char_frac,
+    len(toks) AS n_toks
+  FROM lined
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || chr(0) || toks[i + 1])) AS gram
+  FROM lined WHERE len(toks) >= 2
+),
+topgram AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total_c FROM (
+    SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+)
+SELECT l.doc_id, l.dup_line_frac, l.dup_char_frac,
+       CASE WHEN t.doc_id IS NULL THEN 0.0
+            ELSE round(cast(t.top_c AS double) / t.total_c, {ROUND_N})
+       END AS top_bigram_frac
+FROM linestats l LEFT JOIN topgram t ON l.doc_id = t.doc_id
+ORDER BY l.doc_id
+"""

@@ -351,3 +351,73 @@ def test_near_dups_bucketed_auto_bits(spark):
         for r in embedding_near_dups_bucketed(emb, 0.35, n_bits=4).collect()
     }
     assert auto == explicit and auto
+
+
+def test_repetition_stats_parity_and_edges(spark):
+    """Round 5: Gopher-style repetition metrics — cross-engine parity on
+    mixed content plus the edge shapes (empty text, single token, empty
+    lines filtered, dominant bigram)."""
+    import duckdb
+
+    from esmarc_spark.ops.text import repetition_stats, repetition_stats_sql
+
+    rows = [
+        (0, "alpha beta\nalpha beta\ngamma delta line"),
+        (1, "one two one two one two"),
+        (2, "solo"),
+        (3, ""),
+        (4, "a b\n\nc d\nc d\nc d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in repetition_stats(df).orderBy("doc_id").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.sql(
+            repetition_stats_sql("SELECT doc_id, text FROM t")
+        ).fetchall()
+    ]
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][3] == 0.6   # "one two" dominates 3 of 5 bigrams
+    assert by_id[4][1] == 0.5   # 2 of 4 non-empty lines are repeats
+    assert by_id[3] == (3, 0.0, 0.0, 0.0)  # empty text -> all zero
+
+
+def test_repetition_stats_is_map_only(spark):
+    from esmarc_spark.ops.text import repetition_stats
+
+    df = spark.createDataFrame([(0, "a b\na b")], "doc_id long, text string")
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_pii_scrub_semantics(spark):
+    """Sequential email -> ipv4 -> phone replacement: digits inside an
+    already-redacted match never re-match; counts are over the original."""
+    from esmarc_spark.ops.pii import scrub_docs, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a1.b-c@sub.example.org ip 192.168.001.255 tel +49 (0)30-123456"),
+            (1, "ip-like 999.999.999.999 still matches the ipv4 shape"),
+            (2, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_docs(df).collect()}
+    assert (out[0].n_email, out[0].n_ipv4, out[0].n_phone) == (1, 1, 1)
+    scrubbed = df.select(scrub_pii("text").alias("s")).collect()
+    assert scrubbed[0].s == "mail <EMAIL> ip <IP> tel <PHONE>"
+    assert "<IP>" in scrubbed[1].s  # shape-based, not value-validated
+    assert scrubbed[2].s == "nothing here"
+
+
+def test_pii_scrub_is_map_only(spark):
+    from esmarc_spark.ops.pii import scrub_docs
+
+    df = spark.createDataFrame([(0, "x@y.zz")], "doc_id long, text string")
+    plan = scrub_docs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
