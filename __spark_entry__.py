@@ -323,6 +323,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id"
         )
 
+    def dedup_survivors(spark, sf):
+        # corpus-level near-dup clustering: LSH -> Jaccard verify ->
+        # connected components (Spark: star contraction; oracle: a
+        # RECURSIVE transitive-closure CTE — independent algorithms) ->
+        # min-id representative per cluster
+        from esmarc_spark.ops.dedup import dedup_corpus
+
+        return (
+            dedup_corpus(_t(spark, sf, "documents"), threshold=0.5)
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+        )
+
+    def sample_stratified(spark, sf):
+        # deterministic data mixing: per-source keep rates decided by a
+        # portable md5 hash of the key, so BOTH engines must select the
+        # identical rows (not just matching counts)
+        from esmarc_spark.ops.sampling import sample_stratified as _ss
+
+        return (
+            _ss(
+                _t(spark, sf, "documents"),
+                "doc_id",
+                "source",
+                {"src0": 0.9, "src1": 0.5, "src2": 0.1},
+                default_fraction=0.25,
+            )
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+        )
+
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
 
@@ -825,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "text_repetition": text_repetition,
         "pii_scrub": pii_scrub,
+        "dedup_survivors": dedup_survivors,
+        "sample_stratified": sample_stratified,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard": dedup_jaccard,
@@ -994,6 +1027,17 @@ GROUP BY lang_guess ORDER BY lang_guess
         "crawl_pipeline": __import__(
             "esmarc_spark.ops.crawl", fromlist=["crawl_pipeline_sql"]
         ).crawl_pipeline_sql("/root/repo/tests/golden/realcrawl_expected.ldj"),
+        "dedup_survivors": dedup.dedup_survivors_sql(0.5),
+        "sample_stratified": __import__(
+            "esmarc_spark.ops.sampling", fromlist=["sample_stratified_sql"]
+        ).sample_stratified_sql(
+            "SELECT doc_id, source FROM documents",
+            "doc_id",
+            "source",
+            {"src0": 0.9, "src1": 0.5, "src2": 0.1},
+            0.25,
+        )
+        + " ORDER BY doc_id",
         "dedup_exact_groups": dedup.FINGERPRINT_GROUPS_SQL,
         "dedup_lsh_pairs": dedup.lsh_pairs_sql(),
         "dedup_jaccard": dedup.jaccard_pairs_sql(),

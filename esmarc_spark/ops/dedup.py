@@ -379,3 +379,92 @@ FROM (SELECT doc_id,
                             t -> {salted_hash_sql('t', 99)}) AS th
       FROM documents)
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-level near-dup clustering (round 5)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_edges(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Verified near-duplicate edges: LSH candidates -> exact Jaccard ->
+    keep >= threshold. Candidates-only verification, bucketed self-join —
+    the 100-TB-shaped path (never all-pairs)."""
+    pairs = lsh_candidate_pairs(documents, num_hashes, bands, shingle_k)
+    return ngram_jaccard(documents, pairs, shingle_k).where(
+        F.col("jaccard") >= threshold
+    ).select("doc_a", "doc_b")
+
+
+def dedup_corpus(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """THE corpus dedup a training-data pipeline actually runs: near-dup
+    edges -> connected components (transitive closure — A~B and B~C
+    dedups A,B,C together even when A,C never pair) -> keep the
+    min-doc_id representative per cluster. Returns the surviving rows
+    with the full input schema.
+
+    CC reuses the pipeline's alternating large/small-star implementation
+    (pipeline.canonicalize — eager per-round checkpoints, measured
+    cadence); node ids ride as zero-padded strings so the string-min
+    component representative is the NUMERIC min doc_id."""
+    from esmarc_spark.pipeline.canonicalize import canonical_mapping
+
+    node = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    edges = near_dup_edges(
+        documents, threshold, num_hashes, bands, shingle_k
+    ).select(node("doc_a").alias("src"), node("doc_b").alias("dst"))
+    mapping = canonical_mapping(edges).select(
+        F.col("uri").cast("bigint").alias("doc_id"),
+        F.col("canonical_uri").cast("bigint").alias("_root"),
+    )
+    return (
+        documents.join(mapping, "doc_id", "left")
+        .where(F.col("_root").isNull() | (F.col("_root") == F.col("doc_id")))
+        .drop("_root")
+    )
+
+
+def dedup_survivors_sql(
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> str:
+    """DuckDB oracle for dedup_corpus survivors — connected components
+    via a RECURSIVE transitive-closure CTE (a different algorithm than
+    the Spark star-contraction, so the cross-check is independent)."""
+    return f"""
+WITH RECURSIVE kept AS (
+  SELECT doc_a, doc_b FROM ({jaccard_pairs_sql(num_hashes, bands, shingle_k)})
+  WHERE jaccard >= {threshold}
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM kept
+  UNION
+  SELECT doc_b, doc_a FROM kept
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a WHERE e2.b <> r.a
+),
+root AS (
+  SELECT a AS doc_id, least(a, min(b)) AS root FROM reach GROUP BY a
+)
+SELECT d.doc_id, d.source FROM documents d
+LEFT JOIN root r USING (doc_id)
+WHERE r.root IS NULL OR r.root = d.doc_id
+ORDER BY d.doc_id
+"""

@@ -421,3 +421,56 @@ def test_pii_scrub_is_map_only(spark):
     df = spark.createDataFrame([(0, "x@y.zz")], "doc_id long, text string")
     plan = scrub_docs(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_dedup_corpus_transitive(spark):
+    """A~B and B~C must dedup {A,B,C} to one survivor even if A,C never
+    pair directly (the transitive-closure property pair-dedup lacks)."""
+    from esmarc_spark.ops.dedup import dedup_corpus, near_dup_edges
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one two three"),
+        (2, base + " one two four"),        # ~1 and ~3
+        (3, base + " one five four"),       # ~2, farther from 1
+        (10, "totally different text with no shared shingles at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = {tuple(r) for r in near_dup_edges(docs, threshold=0.5).collect()}
+    assert (1, 2) in edges and (2, 3) in edges
+    survivors = sorted(r.doc_id for r in dedup_corpus(docs, threshold=0.5).collect())
+    assert survivors == [1, 10]
+
+
+def test_sample_stratified_deterministic(spark):
+    """Membership is a pure function of (key, salt): stable across
+    repartitionings; different salts give different samples; rates land
+    near nominal."""
+    from esmarc_spark.ops.sampling import deterministic_sample, sample_stratified
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(2)).cast("string")).alias("source"),
+    )
+    a = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in deterministic_sample(df.repartition(13), "doc_id", 0.3).collect()}
+    assert a == b  # partitioning-independent
+    c = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.3, salt="v2").collect()}
+    assert a != c  # independent sample under a new salt
+    assert abs(len(a) / 4000 - 0.3) < 0.03
+
+    s = sample_stratified(df, "doc_id", "source", {"s0": 0.5}, default_fraction=0.1)
+    got = s.groupBy("source").count().collect()
+    rates = {r.source: r["count"] / 2000 for r in got}
+    assert abs(rates["s0"] - 0.5) < 0.05 and abs(rates.get("s1", 0) - 0.1) < 0.05
+
+
+def test_sampling_is_map_only(spark):
+    from esmarc_spark.ops.sampling import sample_stratified
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"), F.lit("s").alias("source"))
+    plan = (
+        sample_stratified(df, "doc_id", "source", {"s": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
