@@ -354,6 +354,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def decontaminate_pairs(spark, sf):
+        # eval-set decontamination: every 25th doc plays the benchmark;
+        # cross-corpus LSH banding + exact Jaccard must find the same
+        # contaminated (doc, bench) pairs as the mirrored DuckDB SQL
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.decontaminate import contamination_pairs
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        bench = docs.where(F.pmod("doc_id", F.lit(25)) == 0).select(
+            (F.col("doc_id") / 25).cast("long").alias("doc_id"), "text"
+        )
+        return contamination_pairs(docs, bench, threshold=0.5).orderBy(
+            "doc_id", "bench_id"
+        )
+
+    def host_blocklist(spark, sf):
+        # subdomain-inclusive host blocklisting via exploded dot-suffix
+        # equi-join; urls synthesized deterministically from doc_id
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.urlnorm import filter_by_host_blocklist
+
+        docs = _t(spark, sf, "documents")
+        url = F.concat(
+            F.lit("https://"),
+            F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit("ads.tracker.example"))
+            .when(F.pmod("doc_id", F.lit(7)) == 1, F.lit("sub.spam.net"))
+            .otherwise(F.concat(F.lit("site"), F.pmod("doc_id", F.lit(5)).cast("string"), F.lit(".good.org"))),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        )
+        bl = spark.createDataFrame(
+            [("tracker.example",), ("spam.net",)], "host string"
+        )
+        return (
+            filter_by_host_blocklist(
+                docs.select("doc_id", url.alias("url")), bl
+            )
+            .select("doc_id", "url")
+            .orderBy("doc_id")
+        )
+
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
 
@@ -858,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub,
         "dedup_survivors": dedup_survivors,
         "sample_stratified": sample_stratified,
+        "decontaminate_pairs": decontaminate_pairs,
+        "host_blocklist": host_blocklist,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard": dedup_jaccard,
@@ -1027,6 +1072,28 @@ GROUP BY lang_guess ORDER BY lang_guess
         "crawl_pipeline": __import__(
             "esmarc_spark.ops.crawl", fromlist=["crawl_pipeline_sql"]
         ).crawl_pipeline_sql("/root/repo/tests/golden/realcrawl_expected.ldj"),
+        "decontaminate_pairs": __import__(
+            "esmarc_spark.ops.decontaminate", fromlist=["contamination_pairs_sql"]
+        ).contamination_pairs_sql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT CAST(doc_id / 25 AS BIGINT) AS doc_id, text "
+            "FROM documents WHERE doc_id % 25 = 0",
+            0.5,
+        )
+        + " ORDER BY doc_id, bench_id",
+        "host_blocklist": __import__(
+            "esmarc_spark.ops.urlnorm", fromlist=["host_blocklist_sql"]
+        ).host_blocklist_sql(
+            """SELECT doc_id,
+                 'https://' || (CASE doc_id % 7
+                    WHEN 0 THEN 'ads.tracker.example'
+                    WHEN 1 THEN 'sub.spam.net'
+                    ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.good.org'
+                  END) || '/p/' || CAST(doc_id AS VARCHAR) AS url
+               FROM documents""",
+            ["tracker.example", "spam.net"],
+        )
+        + " ORDER BY doc_id",
         "dedup_survivors": dedup.dedup_survivors_sql(0.5),
         "sample_stratified": __import__(
             "esmarc_spark.ops.sampling", fromlist=["sample_stratified_sql"]

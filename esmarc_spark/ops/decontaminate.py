@@ -1,0 +1,131 @@
+"""Benchmark decontamination — remove training documents that overlap
+an evaluation set (the step every serious LLM data pipeline runs so
+benchmark answers don't leak into training data).
+
+Same machinery as the near-dup suite (hashed-shingle MinHash + LSH
+banding + exact-Jaccard verify), but CROSS-corpus: corpus buckets join
+benchmark buckets, never corpus x corpus — cost scales with
+|corpus| + |benchmark| + candidate pairs, and the benchmark side (small
+by definition: eval sets are thousands of docs) broadcasts end to end.
+
+Recall is the LSH banding curve (P[candidate] = 1-(1-j^r)^b), identical
+to the dedup path and identically mirrored in the DuckDB oracle — the
+cross-check verifies the algorithm; the banding parameters are the knob
+a deployment tunes for its recall target (raise num_hashes/bands for
+near-1 recall at lower thresholds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from esmarc_spark.ops.dedup import (
+    jaccard_pairs_sql,
+    lsh_buckets,
+    minhash_signatures,
+    shingles_col,
+)
+
+# oracle-side id offset that puts benchmark ids above every corpus id,
+# so the vendored self-join SQL's `doc_a < doc_b` orientation always
+# reads (corpus, benchmark)
+_BENCH_ID_OFFSET = 1 << 40
+
+
+def contamination_pairs(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, bench_id, jaccard) for corpus docs overlapping a
+    benchmark doc at >= threshold. Both inputs need (doc_id, text)."""
+    rows_per_band = num_hashes // bands
+    b_docs = lsh_buckets(
+        minhash_signatures(documents, num_hashes, shingle_k),
+        bands,
+        rows_per_band,
+    )
+    b_bench = lsh_buckets(
+        minhash_signatures(benchmark, num_hashes, shingle_k),
+        bands,
+        rows_per_band,
+    ).withColumnRenamed("doc_id", "bench_id")
+    pairs = (
+        b_docs.join(F.broadcast(b_bench), ["band", "band_key"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    sh_docs = documents.select(
+        "doc_id", F.array_distinct(shingles_col(k=shingle_k)).alias("sh_a")
+    )
+    sh_bench = benchmark.select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_distinct(shingles_col(k=shingle_k)).alias("sh_b"),
+    )
+    return (
+        pairs.join(sh_docs, "doc_id")
+        .join(F.broadcast(sh_bench), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Corpus minus contaminated docs (left-anti join on the verified
+    contamination pairs). Full input schema preserved."""
+    bad = contamination_pairs(
+        documents, benchmark, threshold, num_hashes, bands, shingle_k
+    ).select("doc_id")
+    return documents.join(bad, "doc_id", "left_anti")
+
+
+def contamination_pairs_sql(
+    corpus_select: str,
+    bench_select: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> str:
+    """DuckDB oracle: the dedup suite's mirrored LSH+Jaccard SQL, rebased
+    from its self-join over ``documents`` to corpus x benchmark by
+    unioning the two sides under DISJOINT ids (benchmark offset above
+    every corpus id, so ``doc_a < doc_b`` orientation is always
+    (corpus, benchmark)); corpus-corpus and bench-bench pairs are
+    filtered out, and the offset is subtracted back off."""
+    base = jaccard_pairs_sql(num_hashes, bands, shingle_k).replace(
+        "FROM documents", "FROM __side"
+    )
+    return f"""
+WITH __side AS (
+  SELECT doc_id, text FROM ({corpus_select})
+  UNION ALL
+  SELECT doc_id + {_BENCH_ID_OFFSET} AS doc_id, text FROM ({bench_select})
+)
+SELECT p.doc_a AS doc_id,
+       p.doc_b - {_BENCH_ID_OFFSET} AS bench_id,
+       p.jaccard
+FROM ({base}) p
+WHERE p.doc_a < {_BENCH_ID_OFFSET}
+  AND p.doc_b >= {_BENCH_ID_OFFSET}
+  AND p.jaccard >= {threshold}
+"""

@@ -134,3 +134,77 @@ def dedup_by_canonical_url(webtext: DataFrame) -> DataFrame:
             *[F.col(f"_row.{c}").alias(c) for c in cols if c != "url"],
         )
     )
+
+
+# --- host extraction + blocklist filtering (round 5) ------------------------
+
+
+def host_of(url: F.Column) -> F.Column:
+    """Lowercased host of a url (port stripped); '' when there is none."""
+    return F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)", 1)
+    )
+
+
+def host_suffixes(host: F.Column) -> F.Column:
+    """All dot-suffixes of a host ("a.b.example.com" ->
+    [a.b.example.com, b.example.com, example.com, com]) — the equi-join
+    key set for subdomain-inclusive blocklist matching (a theta
+    endswith-join would be a nested-loop; exploded suffixes keep it a
+    broadcast hash join)."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(parts, i, n), ".")
+    )
+
+
+def filter_by_host_blocklist(
+    webtext: DataFrame, blocked_hosts: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose url host is on the blocklist or is a subdomain of
+    a blocked host. ``blocked_hosts`` needs one ``host`` column (small —
+    broadcasts). Two joins: a semi join of exploded host-suffixes
+    against the blocklist finds the condemned urls, an anti join removes
+    them; the fact table is never shuffled."""
+    hit = (
+        webtext.select(
+            F.col(url_col),
+            F.explode(host_suffixes(host_of(F.col(url_col)))).alias("host"),
+        )
+        .join(F.broadcast(blocked_hosts.select(F.lower("host").alias("host"))), "host", "semi")
+        .select(url_col)
+        .distinct()
+    )
+    return webtext.join(hit, url_col, "left_anti")
+
+
+def host_blocklist_sql(
+    source_select: str, blocked_values: list[str], url_col: str = "url"
+) -> str:
+    """DuckDB oracle: identical suffix-set semantics via unnest."""
+    vals = ", ".join(f"('{h.lower()}')" for h in blocked_values)
+    return f"""
+WITH src AS ({source_select}),
+hosted AS (
+  SELECT *, lower(regexp_extract({url_col},
+    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS _host
+  FROM src
+),
+sfx AS (
+  SELECT {url_col}, unnest(list_transform(
+           range(1, len(string_split(_host, '.')) + 1),
+           i -> array_to_string(string_split(_host, '.')[i:], '.')))
+         AS host
+  FROM hosted
+),
+bad AS (
+  SELECT DISTINCT s.{url_col} FROM sfx s
+  JOIN (VALUES {vals}) AS bl(host) ON s.host = bl.host
+)
+SELECT * EXCLUDE (_host) FROM hosted
+WHERE {url_col} NOT IN (SELECT {url_col} FROM bad)
+"""

@@ -474,3 +474,55 @@ def test_sampling_is_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_decontaminate_cross_corpus(spark):
+    """Benchmark overlap removal: the contaminated doc (shared shingles
+    with an eval doc) is dropped; unrelated docs and the benchmark's own
+    id space are untouched."""
+    from esmarc_spark.ops.decontaminate import contamination_pairs, decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (100, base + " with a tiny training suffix"),
+            (200, "completely unrelated training document about spark joins here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    pairs = contamination_pairs(docs, bench, threshold=0.5).collect()
+    assert [(p.doc_id, p.bench_id) for p in pairs] == [(100, 1)]
+    clean = sorted(r.doc_id for r in decontaminate(docs, bench, 0.5).collect())
+    assert clean == [200]
+
+
+def test_host_blocklist_suffix_semantics(spark):
+    """Subdomains of a blocked host are blocked; superstrings that merely
+    END with the blocked host's text (bad.org.evil.com) are NOT; host
+    match is case-insensitive; scheme-less rows pass through."""
+    from esmarc_spark.ops.urlnorm import filter_by_host_blocklist
+
+    urls = spark.createDataFrame(
+        [(u,) for u in [
+            "https://www.bad.org/x", "https://sub.a.bad.org/y",
+            "https://good.org/z", "https://bad.org.evil.com/q",
+            "ftp://x.BAD.org/r", "no-scheme",
+        ]],
+        "url string",
+    )
+    bl = spark.createDataFrame([("bad.org",)], "host string")
+    kept = sorted(r.url for r in filter_by_host_blocklist(urls, bl).collect())
+    assert kept == ["https://bad.org.evil.com/q", "https://good.org/z", "no-scheme"]
+
+
+def test_host_blocklist_is_broadcast(spark):
+    from esmarc_spark.ops.urlnorm import filter_by_host_blocklist
+
+    urls = spark.createDataFrame([("https://a.b/x",)], "url string")
+    bl = spark.createDataFrame([("b",)], "host string")
+    plan = (
+        filter_by_host_blocklist(urls, bl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
