@@ -417,17 +417,31 @@ def dedup_corpus(
 
     CC reuses the pipeline's alternating large/small-star implementation
     (pipeline.canonicalize — eager per-round checkpoints, measured
-    cadence); node ids ride as zero-padded strings so the string-min
-    component representative is the NUMERIC min doc_id."""
+    cadence); node ids ride as zero-padded strings through an
+    order-preserving +2^63 offset, so the string-min component
+    representative is the NUMERIC min doc_id for the FULL signed range
+    (hash-derived ids are routinely negative — plain zero-padding both
+    crashes the ANSI cast on '-' and mis-orders negatives)."""
     from esmarc_spark.pipeline.canonicalize import canonical_mapping
 
-    node = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    # 2^63 exceeds the bigint literal range — parse it as a decimal
+    offset = F.expr(f"CAST('{1 << 63}' AS DECIMAL(20,0))")
+
+    def node(c: str) -> F.Column:
+        return F.lpad(
+            (F.col(c).cast("decimal(20,0)") + offset).cast("string"), 20, "0"
+        )
+
+    def unnode(c: str) -> F.Column:
+        return (F.col(c).cast("decimal(21,0)") - offset).cast("bigint")
+
     edges = near_dup_edges(
         documents, threshold, num_hashes, bands, shingle_k
     ).select(node("doc_a").alias("src"), node("doc_b").alias("dst"))
     mapping = canonical_mapping(edges).select(
-        F.col("uri").cast("bigint").alias("doc_id"),
-        F.col("canonical_uri").cast("bigint").alias("_root"),
+        F.col("uri").alias("_u"), F.col("canonical_uri").alias("_c")
+    ).select(
+        unnode("_u").alias("doc_id"), unnode("_c").alias("_root")
     )
     return (
         documents.join(mapping, "doc_id", "left")

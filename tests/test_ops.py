@@ -526,3 +526,23 @@ def test_host_blocklist_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_corpus_negative_ids(spark):
+    """Hash-derived doc_ids are routinely negative; the CC node encoding
+    must stay order-preserving across the full signed range (regression:
+    zero-padding '-…' crashed the ANSI cast)."""
+    from esmarc_spark.ops.dedup import dedup_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (-5_000_000_000_000_000_000, base + " one two three"),
+            (7_000_000_000_000_000_000, base + " one two four"),
+            (42, "completely different text with no shared shingles whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors = sorted(r.doc_id for r in dedup_corpus(docs, threshold=0.5).collect())
+    # numeric min of the cluster survives — the NEGATIVE id
+    assert survivors == [-5_000_000_000_000_000_000, 42]
