@@ -383,3 +383,34 @@ def test_keep_status_filter(spark, tmp_path):
     }
     ok = {r.url for r in read_warc(spark, str(p), keep_status=(200,)).collect()}
     assert ok == {"https://s.example/ok"}
+
+
+def test_stream_with_charset_column(spark, tmp_path):
+    """with_charset rides the STREAMING reader too: the extra column
+    reaches a foreachBatch sink with the header's charset token."""
+    from esmarc_spark.pipeline.warc import read_warc_stream, write_warc_fixture
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    write_warc_fixture(
+        str(drop / "m.warc.gz"),
+        [
+            ("https://cs.example/a", "2024-06-01T00:00:00Z",
+             "<p>caf\xe9</p>".encode("latin-1"), "1.0",
+             "text/html; charset=ISO-8859-1"),
+            ("https://cs.example/b", "2024-06-01T00:00:00Z", "<p>x</p>"),
+        ],
+    )
+    seen = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            seen[r["url"]] = r["charset"]
+
+    stream = read_warc_stream(spark, str(drop), with_charset=True)
+    assert stream.schema.names[-1] == "charset"
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    assert seen == {"https://cs.example/a": "iso-8859-1", "https://cs.example/b": None}
