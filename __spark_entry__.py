@@ -397,6 +397,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def chunk_windows(spark, sf):
+        # fixed-token chunking with overlap (context-window prep):
+        # 16-token windows, 4-token overlap — start/step/slice semantics
+        # mirrored exactly by the DuckDB list-slicing oracle
+        from esmarc_spark.ops.chunking import chunk_documents
+
+        return chunk_documents(
+            _t(spark, sf, "documents").select("doc_id", "text"), 16, 4
+        ).orderBy("doc_id", "chunk_id")
+
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
 
@@ -903,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "decontaminate_pairs": decontaminate_pairs,
         "host_blocklist": host_blocklist,
+        "chunk_windows": chunk_windows,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard": dedup_jaccard,
@@ -1094,6 +1105,9 @@ GROUP BY lang_guess ORDER BY lang_guess
             ["tracker.example", "spam.net"],
         )
         + " ORDER BY doc_id",
+        "chunk_windows": __import__(
+            "esmarc_spark.ops.chunking", fromlist=["chunk_documents_sql"]
+        ).chunk_documents_sql("SELECT doc_id, text FROM documents", 16, 4),
         "dedup_survivors": dedup.dedup_survivors_sql(0.5),
         "sample_stratified": __import__(
             "esmarc_spark.ops.sampling", fromlist=["sample_stratified_sql"]

@@ -546,3 +546,39 @@ def test_dedup_corpus_negative_ids(spark):
     survivors = sorted(r.doc_id for r in dedup_corpus(docs, threshold=0.5).collect())
     # numeric min of the cluster survives — the NEGATIVE id
     assert survivors == [-5_000_000_000_000_000_000, 42]
+
+
+def test_chunk_documents_semantics(spark):
+    """Window starts at 1, 1+step, ...; last chunk short; short doc ->
+    one chunk; overlap tokens repeat across adjacent chunks."""
+    from esmarc_spark.ops.chunking import chunk_documents
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = [
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk)
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1)
+        .orderBy("doc_id", "chunk_id").collect()
+    ]
+    assert out == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (1, 3, 1, "t9"),
+        (2, 0, 2, "a b"),
+        (3, 0, 1, ""),  # split('') -> [''] — one empty-token chunk
+    ]
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from esmarc_spark.ops.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(df, 2, 0)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
