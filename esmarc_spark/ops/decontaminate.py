@@ -27,10 +27,16 @@ from esmarc_spark.ops.dedup import (
     shingles_col,
 )
 
-# oracle-side id offset that puts benchmark ids above every corpus id,
-# so the vendored self-join SQL's `doc_a < doc_b` orientation always
-# reads (corpus, benchmark)
-_BENCH_ID_OFFSET = 1 << 40
+# oracle-side id rebase that puts benchmark ids above every possible
+# corpus id, so the vendored self-join SQL's `doc_a < doc_b` orientation
+# always reads (corpus, benchmark). Both sides are widened to HUGEINT:
+# corpus ids stay in bigint range [-2^63, 2^63), benchmark ids shift by
+# 2^64 into [2^64-2^63, 2^64+2^63) — disjoint for ANY bigint id on
+# either side (negative or hash-derived included, the ranges dedup's
+# order-preserving offset trick also has to cover), with 2^63 as the
+# orientation boundary.
+_BENCH_ID_OFFSET = 1 << 64
+_SIDE_BOUNDARY = 1 << 63
 
 
 def contamination_pairs(
@@ -108,24 +114,26 @@ def contamination_pairs_sql(
 ) -> str:
     """DuckDB oracle: the dedup suite's mirrored LSH+Jaccard SQL, rebased
     from its self-join over ``documents`` to corpus x benchmark by
-    unioning the two sides under DISJOINT ids (benchmark offset above
-    every corpus id, so ``doc_a < doc_b`` orientation is always
-    (corpus, benchmark)); corpus-corpus and bench-bench pairs are
-    filtered out, and the offset is subtracted back off."""
+    unioning the two sides under GUARANTEED-DISJOINT HUGEINT ids (see
+    ``_BENCH_ID_OFFSET`` — valid for any bigint id on either side, so
+    ``doc_a < doc_b`` orientation is always (corpus, benchmark));
+    corpus-corpus and bench-bench pairs are filtered out, and the
+    rebase is undone (back to BIGINT, matching the Spark schema)."""
     base = jaccard_pairs_sql(num_hashes, bands, shingle_k).replace(
         "FROM documents", "FROM __side"
     )
     return f"""
 WITH __side AS (
-  SELECT doc_id, text FROM ({corpus_select})
+  SELECT CAST(doc_id AS HUGEINT) AS doc_id, text FROM ({corpus_select})
   UNION ALL
-  SELECT doc_id + {_BENCH_ID_OFFSET} AS doc_id, text FROM ({bench_select})
+  SELECT CAST(doc_id AS HUGEINT) + {_BENCH_ID_OFFSET} AS doc_id, text
+  FROM ({bench_select})
 )
-SELECT p.doc_a AS doc_id,
-       p.doc_b - {_BENCH_ID_OFFSET} AS bench_id,
+SELECT CAST(p.doc_a AS BIGINT) AS doc_id,
+       CAST(p.doc_b - {_BENCH_ID_OFFSET} AS BIGINT) AS bench_id,
        p.jaccard
 FROM ({base}) p
-WHERE p.doc_a < {_BENCH_ID_OFFSET}
-  AND p.doc_b >= {_BENCH_ID_OFFSET}
+WHERE p.doc_a < {_SIDE_BOUNDARY}
+  AND p.doc_b >= {_SIDE_BOUNDARY}
   AND p.jaccard >= {threshold}
 """

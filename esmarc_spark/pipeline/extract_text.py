@@ -160,15 +160,24 @@ PY_LEGACY_CHARSETS = frozenset(
 
 
 def extract_legacy_text(
-    webtext: DataFrame, charsets: frozenset = PY_LEGACY_CHARSETS
+    webtext: DataFrame,
+    charsets: frozenset = PY_LEGACY_CHARSETS,
+    main_content: bool = False,
 ) -> DataFrame:
     """Opt-in companion to ``charset_aware=True`` for charsets the JVM
     path cannot decode (Shift-JIS, GBK, EUC-KR, the non-Latin
     windows-125x family, ...): rows whose charset — the reader's
     ``charset`` column when present, else the meta sniff — names one get
-    ``text`` filled by an Arrow-batched Python decode+strip
-    (errors="replace", then the exact S1 strip chain), so a following
-    ``with_extracted_text`` leaves them verbatim.
+    ``text`` filled by an Arrow-batched Python DECODE (errors="replace")
+    followed by the SAME Catalyst extraction expression the JVM path
+    runs, so a following ``with_extracted_text`` leaves them verbatim.
+
+    Python does only what the JVM cannot (the charset decode); the
+    strip/boilerplate stage is the shared expression, so both
+    populations get identical extraction semantics by construction.
+    ``main_content=True`` mirrors ``with_extracted_text``'s flag —
+    pass the same value to both or the corpus mixes semantics (legacy
+    rows keeping nav/footer boilerplate that JVM-decoded rows drop).
 
     Split + union, NOT a UDF inside a conditional: a pandas UDF under a
     ``when()`` is still evaluated for every row (ArrowEvalPython runs
@@ -192,26 +201,28 @@ def extract_legacy_text(
     )
 
     @pandas_udf(StringType())
-    def dec_strip(html: pd.Series, charset: pd.Series) -> pd.Series:
+    def dec(html: pd.Series, charset: pd.Series) -> pd.Series:
         def one(b, c):
             if b is None:
                 return None
             try:
-                s = bytes(b).decode(c, errors="replace")
+                return bytes(b).decode(c, errors="replace")
             except (LookupError, TypeError):
-                s = bytes(b).decode("utf-8", errors="replace")
-            s = _SCRIPT_RE.sub(" ", s)
-            s = _TAG_RE.sub(" ", s)
-            for ent, ch in _ENTITIES.items():
-                s = s.replace(ent, ch)
-            return _WS_RE.sub(" ", s).strip()
+                return bytes(b).decode("utf-8", errors="replace")
 
         return pd.Series(
             [one(b, c) for b, c in zip(html, charset)], dtype="object"
         )
 
+    decoded = dec(F.col("html"), sniffed)
+    if main_content:
+        from esmarc_spark.ops.boilerplate import extract_main_text
+
+        extractor = extract_main_text(decoded)
+    else:
+        extractor = _strip_expr(decoded)
     legacy = webtext.where(mask).withColumn(
-        "text", F.coalesce(F.col("text"), dec_strip(F.col("html"), sniffed))
+        "text", F.coalesce(F.col("text"), extractor)
     )
     return webtext.where(~mask).unionByName(legacy)
 

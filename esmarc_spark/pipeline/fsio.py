@@ -43,13 +43,28 @@ def _rename_is_atomic(fs) -> bool:
 
 
 def read_text(path: str) -> str | None:
-    """Contents of a small text object, or None when absent."""
+    """Contents of a small text object, or None when absent.
+
+    Only *absence* maps to None. Transient IO errors (throttle, auth
+    blip, timeout) must propagate: this reads commit markers, and
+    treating a failed read of ``_LATEST`` as "no marker" would make
+    readers silently fall back to live batch dirs that compaction GC
+    may already have removed — an incomplete table, not an error.
+    """
+    import pyarrow.fs as pafs
+
     fs, rel = _fs(path)
     try:
         with fs.open_input_stream(rel) as f:
             return f.read().decode("utf-8")
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         return None
+    except OSError:
+        # Some backends raise plain OSError for a missing key; only a
+        # confirmed NotFound is "absent" — everything else re-raises.
+        if fs.get_file_info(rel).type == pafs.FileType.NotFound:
+            return None
+        raise
 
 
 def write_text_atomic(path: str, text: str) -> None:
@@ -90,7 +105,11 @@ def list_child_dirs(path: str, prefix: str) -> list[str]:
         infos = fs.get_file_info(
             pafs.FileSelector(rel, recursive=False, allow_not_found=True)
         )
-    except (FileNotFoundError, OSError):
+    except (FileNotFoundError, NotADirectoryError):
+        # allow_not_found covers a missing base on most backends; these
+        # are the residual "path absent / not a dir" shapes. Real IO
+        # errors propagate — a throttled listing must not read as
+        # "no batches" (same consistency argument as read_text).
         return []
     return sorted(
         i.base_name
@@ -100,12 +119,21 @@ def list_child_dirs(path: str, prefix: str) -> list[str]:
 
 
 def delete_dir(path: str) -> None:
-    """Recursive delete; missing paths are a no-op (GC semantics)."""
+    """Recursive delete; a missing path is a no-op (GC semantics —
+    a crashed GC rerun meets already-deleted dirs). Other IO errors
+    propagate: GC runs after the commit point, so a failure here is
+    safe to surface and resume."""
+    import pyarrow.fs as pafs
+
     fs, rel = _fs(path)
     try:
         fs.delete_dir(rel)
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         pass
+    except OSError:
+        if fs.get_file_info(rel).type == pafs.FileType.NotFound:
+            return
+        raise
 
 
 def join(base: str, *parts: str) -> str:

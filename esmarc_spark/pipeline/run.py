@@ -12,6 +12,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from esmarc_spark.pipeline.canonicalize import canonical_mapping, rewrite_through_canonical
 from esmarc_spark.pipeline.extract_text import dedup_by_url, with_extracted_text
@@ -72,7 +73,9 @@ def run_pipeline(
     if legacy_charsets:
         from esmarc_spark.pipeline.extract_text import extract_legacy_text
 
-        webtext = extract_legacy_text(webtext)
+        # same main_content flag as with_extracted_text below, so legacy
+        # and JVM-decoded rows get identical extraction semantics
+        webtext = extract_legacy_text(webtext, main_content=main_content)
     docs = dedup_by_url(
         with_extracted_text(
             webtext, main_content=main_content, charset_aware=charset_aware
@@ -162,8 +165,21 @@ def _backfill_one_job(
             )
             .collect()
         }
-    except Exception:
-        tcounts = {}  # zero-mention backfill: nothing written yet
+    except AnalysisException as exc:
+        # ONLY the empty-path shape (zero-mention backfill: nothing has
+        # ever been written under triples/) maps to zero counts. Any
+        # other failure — corrupt footer, transient store error — must
+        # propagate: swallowing it would record status='done' with
+        # n_triples=0 for every pending day, corrupting lineage while
+        # marking the partitions complete.
+        msg = str(exc)
+        if not (
+            "PATH_NOT_FOUND" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "unable to infer schema" in msg.lower()
+        ):
+            raise
+        tcounts = {}
     dcounts = {
         r["pday"]: r
         for r in part.groupBy("pday")

@@ -430,18 +430,74 @@ def _record_rows(
         yield row
 
 
+def _glob_regex(pattern: str):
+    """Compile a Hadoop-style glob to an anchored regex.
+
+    Matches the semantics Spark's local path (Hadoop ``globStatus``)
+    applies, so the same pattern selects the same files on the local
+    and the explicit-filesystem/remote paths: ``*`` and ``?`` match
+    within ONE path segment (never across ``/``), ``[abc]``/``[a-c]``/
+    ``[^a]`` character classes, ``{a,b}`` alternation (nestable), and
+    ``\\`` escapes the next character. Plain fnmatch here was wrong —
+    its ``*`` crosses ``/`` so ``prefix/*.warc.gz`` also ingested
+    nested ``prefix/a/b.warc.gz``, and ``{a,b}`` was unsupported."""
+    import re
+
+    out, i, n = [], 0, len(pattern)
+    in_class, depth = False, 0
+    while i < n:
+        c = pattern[i]
+        if in_class:
+            if c == "\\" and i + 1 < n:
+                out.append("\\" + re.escape(pattern[i + 1]))
+                i += 2
+                continue
+            if c == "]":
+                in_class = False
+                out.append("]")
+            else:
+                out.append(c if c != "^" or pattern[i - 1] == "[" else "\\^")
+            i += 1
+            continue
+        if c == "\\" and i + 1 < n:
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "*":
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        elif c == "[":
+            in_class = True
+            out.append("[")
+            if i + 1 < n and pattern[i + 1] in "^!":
+                out.append("^")
+                i += 1
+        elif c == "{":
+            depth += 1
+            out.append("(?:")
+        elif c == "}" and depth:
+            depth -= 1
+            out.append(")")
+        elif c == "," and depth:
+            out.append("|")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return re.compile("".join(out) + r"\Z")
+
+
 def _list_members(fs, path: str) -> list[str]:
     """File listing through the pyarrow FileSystem API (driver-side):
     ``path`` may be a file, a directory (recursive — Common Crawl lays
     members out in nested prefixes), or contain a glob in its final
-    segments (fnmatch against the listing — object stores have no
-    server-side glob)."""
-    import fnmatch
-
+    segments (matched with Hadoop glob semantics via ``_glob_regex``,
+    mirroring the local/Spark path — object stores have no server-side
+    glob)."""
     import pyarrow.fs as pafs
 
     wild = min(
-        (i for i in (path.find(c) for c in "*?[") if i >= 0), default=-1
+        (i for i in (path.find(c) for c in "*?[{") if i >= 0), default=-1
     )
     if wild < 0:
         info = fs.get_file_info(path)
@@ -449,13 +505,13 @@ def _list_members(fs, path: str) -> list[str]:
             return [path]
         base, pattern = path.rstrip("/"), None
     else:
-        base, pattern = path[:wild].rpartition("/")[0], path
+        base, pattern = path[:wild].rpartition("/")[0], _glob_regex(path)
     sel = pafs.FileSelector(base, recursive=True, allow_not_found=False)
     out = [
         i.path
         for i in fs.get_file_info(sel)
         if i.type == pafs.FileType.File
-        and (pattern is None or fnmatch.fnmatch(i.path, pattern))
+        and (pattern is None or pattern.match(i.path))
     ]
     return sorted(out)
 

@@ -169,3 +169,35 @@ def test_legacy_split_python_only_on_matching_rows(spark):
     # first (non-legacy) child is a pure filter+scan
     import re
     assert re.search(r"Filter .*NOT", whole) or "false" in whole.lower()
+
+
+def test_legacy_main_content_matches_jvm_semantics(spark):
+    """ADVICE r5: with main_content=True the legacy (Python-decoded)
+    rows must get the SAME boilerplate removal as JVM-decoded rows —
+    the decode is the only thing Python does; the extraction stage is
+    the shared Catalyst expression."""
+    from esmarc_spark.pipeline.extract_text import extract_legacy_text
+
+    body = (
+        "<nav><a href='/x'>home</a> <a href='/y'>about</a></nav>"
+        "<p>日本語の本文ページです。ここに長い本文テキストが続きます。"
+        "spark engine content body text paragraph</p>"
+        "<footer><a href='/z'>impressum</a></footer>"
+    )
+    rows = [
+        ("sjis", None, body.encode("shift_jis"), None, None, "shift_jis"),
+        ("utf8", None, body.encode(), None, None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA + ", charset string")
+    out = {
+        r.url: r.text
+        for r in with_extracted_text(
+            extract_legacy_text(df, main_content=True),
+            main_content=True,
+            charset_aware=True,
+        ).collect()
+    }
+    # identical page content -> identical extraction on both routes
+    assert out["sjis"] == out["utf8"]
+    assert "home" not in out["sjis"] and "impressum" not in out["sjis"]
+    assert "本文" in out["sjis"]

@@ -110,3 +110,35 @@ def test_run_incremental_uri_out_root(spark, tmp_path, inputs):
     # resume through the URI checkpoint store: nothing pending
     again = run_incremental(spark, webtext, gaz, uri_root)
     assert again["processed"] == []
+
+
+def test_backfill_corrupt_readback_raises_not_done(spark, tmp_path, inputs):
+    """ADVICE r5: a real failure reading back the written triples (e.g.
+    corrupt footer) must propagate — NOT be recorded as status='done'
+    with n_triples=0, which would corrupt lineage while marking the
+    partitions complete. Only the nothing-written-yet empty-path shape
+    maps to zero counts."""
+    import pathlib
+
+    webtext, gaz = inputs
+    root = str(tmp_path / "corrupt")
+    # first run writes triples; then corrupt every footer and force a
+    # backfill of a "new" day so the read-back executes again
+    run_incremental(spark, webtext, gaz, root, mode="batch")
+    for f in pathlib.Path(root, "triples").rglob("*.parquet"):
+        f.write_bytes(b"not a parquet file")
+    from pyspark.sql import functions as F
+
+    more = webtext.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 10 DAYS")
+    )
+    with pytest.raises(Exception):
+        run_incremental(spark, more, gaz, root, mode="batch")
+    # the lineage store must NOT have recorded the new days as done
+    from esmarc_spark.pipeline.checkpoint import CheckpointStore
+
+    done = sorted(
+        r.pday
+        for r in CheckpointStore(spark, root).completed_partitions().collect()
+    )
+    assert len(done) == 3, done  # only the original run's days

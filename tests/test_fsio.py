@@ -79,3 +79,39 @@ def test_join_is_uri_safe():
     assert fsio.join("s3://b/t/", "batch_id=3") == "s3://b/t/batch_id=3"
     assert fsio.join("/a/b", "c", "d") == "/a/b/c/d"
     assert fsio.join("file:///x", "y") == "file:///x/y"
+
+
+def test_transient_errors_propagate(tmp_path, monkeypatch):
+    """ADVICE r5: only confirmed absence maps to None/[] — a throttle or
+    auth blip reading the commit marker must raise, not silently read as
+    'no marker' (which would let readers merge a GC'd table state)."""
+    class FlakyFS:
+        """get_file_info says the path EXISTS; reads fail transiently."""
+
+        def open_input_stream(self, p):
+            raise OSError("AWS Error SLOW_DOWN during GetObject")
+
+        def get_file_info(self, sel):
+            if isinstance(sel, pafs.FileSelector):
+                raise OSError("AWS Error SLOW_DOWN during ListObjectsV2")
+            info = pafs.LocalFileSystem().get_file_info(__file__)
+            return info
+
+        def delete_dir(self, p):
+            raise OSError("AWS Error SLOW_DOWN during DeleteObjects")
+
+    monkeypatch.setattr(fsio, "_fs", lambda path: (FlakyFS(), path))
+    with pytest.raises(OSError):
+        fsio.read_text("s3://bucket/t/_LATEST")
+    with pytest.raises(OSError):
+        fsio.list_child_dirs("s3://bucket/t", "batch_id=")
+    with pytest.raises(OSError):
+        fsio.delete_dir("s3://bucket/t/batch_id=0")
+
+
+def test_confirmed_absence_is_still_none(tmp_path):
+    """The narrowed handler keeps the absent-marker contract."""
+    missing = str(tmp_path / "nope" / "_LATEST")
+    assert fsio.read_text(missing) is None
+    assert fsio.list_child_dirs(str(tmp_path / "nope"), "b") == []
+    fsio.delete_dir(str(tmp_path / "nope"))  # no-op, no raise

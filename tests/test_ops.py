@@ -582,3 +582,45 @@ def test_chunk_documents_no_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = chunk_documents(df, 2, 0)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_decontaminate_oracle_arbitrary_id_ranges(spark):
+    """ADVICE r5: the oracle's side rebase must hold for ANY bigint ids
+    — negative and >= 2^40 (hash-derived) corpus ids used to be
+    misclassified by the old fixed-offset orientation filter."""
+    import duckdb
+
+    from esmarc_spark.ops.decontaminate import (
+        contamination_pairs,
+        contamination_pairs_sql,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    doc_rows = [
+        (-7, base + " with a tiny training suffix"),
+        ((1 << 50) + 3, base + " plus another small tail here"),
+        (42, "completely unrelated training document about spark joins here"),
+    ]
+    bench_rows = [(-(1 << 45), base), (9, "nothing shared with any doc at all")]
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.bench_id, r.jaccard)
+        for r in contamination_pairs(docs, bench, threshold=0.5).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.execute("CREATE TABLE bench(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", doc_rows)
+    con.executemany("INSERT INTO bench VALUES (?, ?)", bench_rows)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            contamination_pairs_sql(
+                "SELECT * FROM docs", "SELECT * FROM bench", threshold=0.5
+            )
+        ).fetchall()
+    )
+    assert got == want
+    assert {d for d, _, _ in got} == {-7, (1 << 50) + 3}
+    assert {b for _, b, _ in got} == {-(1 << 45)}

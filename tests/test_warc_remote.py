@@ -168,3 +168,37 @@ def test_hadoop_scheme_aliases_resolve():
     else:
         assert type(fs).__name__ == "S3FileSystem"
         assert rel == "bucket/key.warc.gz"
+
+
+def test_glob_hadoop_semantics(tmp_path):
+    """ADVICE r5: the remote glob must mirror Hadoop globStatus — '*'
+    and '?' stay inside one path segment, '{a,b}' alternation works —
+    so a pattern selects the SAME file set local vs remote."""
+    from esmarc_spark.pipeline.warc import _glob_regex, write_warc_fixture
+
+    top = tmp_path / "crawl"
+    nested = top / "seg"
+    nested.mkdir(parents=True)
+    write_warc_fixture(str(top / "m0.warc.gz"), RECORDS[:1])
+    write_warc_fixture(str(top / "m1.warc.gz"), RECORDS[1:2])
+    write_warc_fixture(str(nested / "deep.warc.gz"), RECORDS[2:])
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+
+    # '*' must NOT cross '/': only the top-level members match
+    flat = _list_members(fs, "crawl/*.warc.gz")
+    assert flat == ["crawl/m0.warc.gz", "crawl/m1.warc.gz"]
+    # segment-crossing selection is explicit
+    deep = _list_members(fs, "crawl/*/*.warc.gz")
+    assert deep == ["crawl/seg/deep.warc.gz"]
+    # '?' is one character within a segment
+    assert _list_members(fs, "crawl/m?.warc.gz") == flat
+    assert _list_members(fs, "crawl/m??.warc.gz") == []
+    # '{a,b}' alternation (Hadoop supports it; fnmatch didn't)
+    assert _list_members(fs, "crawl/{m0,m1}.warc.gz") == flat
+    assert _list_members(fs, "crawl/{m0,nope}.warc.gz") == ["crawl/m0.warc.gz"]
+    # character class
+    assert _list_members(fs, "crawl/m[01].warc.gz") == flat
+    assert _list_members(fs, "crawl/m[^01].warc.gz") == []
+    # literal comma outside braces stays literal
+    assert not _glob_regex("a,b").match("a")
+    assert _glob_regex("a,b").match("a,b")
