@@ -191,20 +191,75 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs from LSH banding.
 
     The self-join is on (band, band_key) — high-cardinality keys, so the
-    shuffle is uniform; bucket sizes bound the pair fan-out.
+    shuffle is uniform and NORMAL bucket sizes bound the pair fan-out.
+    What normal sizes don't cover is the degenerate bucket a
+    template-heavy corpus produces (thousands of near-identical
+    boilerplate pages landing in ONE (band, band_key) — routine at crawl
+    scale): a pairwise join there emits O(k²) pairs from a single
+    bucket. Buckets larger than ``max_bucket_size`` are therefore
+    STAR-LINKED — every member pairs only with the bucket's min-doc_id
+    representative (O(k) pairs). Members of a giant band bucket are
+    near-certain duplicates, the star edges still go through the exact
+    Jaccard verify, and the connected-components stage downstream
+    (``dedup_corpus``) restores transitivity, so cluster membership is
+    preserved while the fan-out stays linear.
+
+    The default cap (256 → ≤32k pairs per degenerate bucket) is far
+    above any bucket a non-adversarial corpus produces (measured max 4
+    at bench scale) — results are unchanged unless a true template
+    cluster exists. Pass ``max_bucket_size=None`` to disable.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, shingle_k)
-    # the self-join reads the bucket relation twice — materialize it once
-    # (tiny: docs × bands rows) instead of recomputing shingle hashing per side
-    buckets = lsh_buckets(sig, bands, rows_per_band).localCheckpoint(eager=False)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
+    return pairs_from_buckets(
+        lsh_buckets(sig, bands, rows_per_band), max_bucket_size
+    )
+
+
+def pairs_from_buckets(
+    buckets: DataFrame, max_bucket_size: int | None = 256
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs from a (band, band_key, doc_id)
+    bucket relation — the join/guard half of ``lsh_candidate_pairs``,
+    shared with the incremental path (which builds its bucket relation
+    from a persisted signature index)."""
+    from pyspark.sql.window import Window
+
+    if max_bucket_size is None:
+        # unguarded path (kept for A/B benching): plain pairwise self-join
+        buckets = buckets.localCheckpoint(eager=False)
+        a, b = buckets.alias("a"), buckets.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+    # annotate each bucket row with its bucket size + representative in
+    # ONE pass (window over the join key — the shuffle it costs is the
+    # same hash distribution the self-join needs anyway), then
+    # materialize once: the relation feeds three consumers (two pairwise
+    # sides + the star branch) and must not recompute minhashing
+    w = Window.partitionBy("band", "band_key")
+    ann = buckets.select(
+        "band",
+        "band_key",
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.min("doc_id").over(w).alias("_rep"),
+    ).localCheckpoint(eager=False)
+    small = ann.where(F.col("_n") <= max_bucket_size).drop("_n", "_rep")
+    a, b = small.alias("a"), small.alias("b")
+    pairwise = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -212,8 +267,12 @@ def lsh_candidate_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    # rep == min(doc_id) of the bucket, so (rep, member) keeps doc_a < doc_b
+    star = ann.where(
+        (F.col("_n") > max_bucket_size) & (F.col("doc_id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return pairwise.unionByName(star).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -392,14 +451,38 @@ def near_dup_edges(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Verified near-duplicate edges: LSH candidates -> exact Jaccard ->
-    keep >= threshold. Candidates-only verification, bucketed self-join —
-    the 100-TB-shaped path (never all-pairs)."""
-    pairs = lsh_candidate_pairs(documents, num_hashes, bands, shingle_k)
+    keep >= threshold. Candidates-only verification, bucketed self-join
+    with the degenerate-bucket star guard — the 100-TB-shaped path
+    (never all-pairs, never quadratic in one template cluster)."""
+    pairs = lsh_candidate_pairs(
+        documents, num_hashes, bands, shingle_k, max_bucket_size
+    )
     return ngram_jaccard(documents, pairs, shingle_k).where(
         F.col("jaccard") >= threshold
     ).select("doc_a", "doc_b")
+
+
+def signed_node_col(c: str) -> F.Column:
+    """Signed bigint doc_id -> zero-padded string node id whose STRING
+    order equals the numeric order over the full signed range: the CC
+    machinery (pipeline.canonicalize) takes string nodes and picks the
+    string-min component representative, and hash-derived doc_ids are
+    routinely negative (plain zero-padding both crashes the ANSI cast
+    on '-' and mis-orders negatives). 2^63 exceeds the bigint literal
+    range — parse the offset as a decimal."""
+    offset = F.expr(f"CAST('{1 << 63}' AS DECIMAL(20,0))")
+    return F.lpad(
+        (F.col(c).cast("decimal(20,0)") + offset).cast("string"), 20, "0"
+    )
+
+
+def signed_unnode_col(c: str) -> F.Column:
+    """Inverse of ``signed_node_col``."""
+    offset = F.expr(f"CAST('{1 << 63}' AS DECIMAL(20,0))")
+    return (F.col(c).cast("decimal(21,0)") - offset).cast("bigint")
 
 
 def dedup_corpus(
@@ -408,6 +491,7 @@ def dedup_corpus(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """THE corpus dedup a training-data pipeline actually runs: near-dup
     edges -> connected components (transitive closure — A~B and B~C
@@ -424,19 +508,9 @@ def dedup_corpus(
     crashes the ANSI cast on '-' and mis-orders negatives)."""
     from esmarc_spark.pipeline.canonicalize import canonical_mapping
 
-    # 2^63 exceeds the bigint literal range — parse it as a decimal
-    offset = F.expr(f"CAST('{1 << 63}' AS DECIMAL(20,0))")
-
-    def node(c: str) -> F.Column:
-        return F.lpad(
-            (F.col(c).cast("decimal(20,0)") + offset).cast("string"), 20, "0"
-        )
-
-    def unnode(c: str) -> F.Column:
-        return (F.col(c).cast("decimal(21,0)") - offset).cast("bigint")
-
+    node, unnode = signed_node_col, signed_unnode_col
     edges = near_dup_edges(
-        documents, threshold, num_hashes, bands, shingle_k
+        documents, threshold, num_hashes, bands, shingle_k, max_bucket_size
     ).select(node("doc_a").alias("src"), node("doc_b").alias("dst"))
     mapping = canonical_mapping(edges).select(
         F.col("uri").alias("_u"), F.col("canonical_uri").alias("_c")

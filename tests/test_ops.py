@@ -624,3 +624,51 @@ def test_decontaminate_oracle_arbitrary_id_ranges(spark):
     assert got == want
     assert {d for d, _, _ in got} == {-7, (1 << 50) + 3}
     assert {b for _, b, _ in got} == {-(1 << 45)}
+
+
+def test_lsh_oversized_bucket_star_guard(spark):
+    """VERDICT r5 #1: a template-heavy cluster (every page near-identical)
+    must produce O(k) star candidates, not O(k^2) pairwise — while
+    dedup_corpus survivors stay IDENTICAL to the unguarded run (CC
+    restores transitivity over the star edges)."""
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.dedup import dedup_corpus, lsh_candidate_pairs
+
+    k = 40
+    rows = [
+        (i, "breaking news template header nav footer copyright boilerplate "
+            f"page body text item {i % 2}")
+        for i in range(k)
+    ] + [(1000, "a completely different document about spark physical plans")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs, max_bucket_size=8).collect()}
+    unguarded = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs, max_bucket_size=None).collect()}
+    # star fan-out is linear: every member links the bucket representative
+    assert len(guarded) < len(unguarded)
+    assert len(guarded) <= 2 * k  # <= one star edge per (member, distinct band key)
+    assert len(unguarded) > k * (k - 1) / 8  # pairwise blowup really happens
+    # ordering invariant holds on the star edges too
+    assert all(a < b for a, b in guarded)
+    # cluster membership is preserved end to end
+    surv_g = sorted(r.doc_id for r in dedup_corpus(docs, 0.5, max_bucket_size=8).collect())
+    surv_u = sorted(r.doc_id for r in dedup_corpus(docs, 0.5, max_bucket_size=None).collect())
+    assert surv_g == surv_u == [0, 1000]
+
+
+def test_lsh_guard_noop_below_cap(spark):
+    """With every bucket under the cap the guarded plan emits byte-equal
+    pairs to the unguarded one (the default cap must not change driver
+    query results)."""
+    from esmarc_spark.ops.dedup import lsh_candidate_pairs
+
+    rows = [
+        (i, f"document number {i} with mostly unique content tokens {i*7} {i*13}")
+        for i in range(30)
+    ] + [(100, "shared shingle base text one two three"),
+         (101, "shared shingle base text one two three four")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    g = sorted((r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect())
+    u = sorted((r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs, max_bucket_size=None).collect())
+    assert g == u
