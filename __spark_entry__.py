@@ -407,6 +407,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id", "text"), 16, 4
         ).orderBy("doc_id", "chunk_id")
 
+    def token_counts_bpe(spark, sf):
+        # REAL merge-based byte-level BPE (vendored deterministic merge
+        # table, Arrow-batched encoder with per-executor piece cache).
+        # Oracle: vendored golden from an INDEPENDENT reference encoder
+        # (scripts/regen_golden_bpe.py replays merges in rank order;
+        # the engine picks lowest-rank-applicable repeatedly) —
+        # regeneration byte-identity tested in tests/test_bpe.py.
+        from esmarc_spark.ops.bpe import token_counts_bpe as tcb
+
+        return tcb(_t(spark, sf, "documents")).orderBy("doc_id")
+
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
 
@@ -914,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_pairs": decontaminate_pairs,
         "host_blocklist": host_blocklist,
         "chunk_windows": chunk_windows,
+        "token_counts_bpe": token_counts_bpe,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard": dedup_jaccard,
@@ -1108,6 +1120,11 @@ GROUP BY lang_guess ORDER BY lang_guess
         "chunk_windows": __import__(
             "esmarc_spark.ops.chunking", fromlist=["chunk_documents_sql"]
         ).chunk_documents_sql("SELECT doc_id, text FROM documents", 16, 4),
+        "token_counts_bpe": (
+            "SELECT doc_id, n_tokens "
+            "FROM read_json_auto('/root/repo/tests/golden/bpe_counts.ldj') "
+            "ORDER BY doc_id"
+        ),
         "dedup_survivors": dedup.dedup_survivors_sql(0.5),
         "sample_stratified": __import__(
             "esmarc_spark.ops.sampling", fromlist=["sample_stratified_sql"]

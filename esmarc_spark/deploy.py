@@ -20,8 +20,13 @@ PACKAGE_ROOT = Path(__file__).resolve().parent
 def package_zip(out_dir: str | None = None) -> str:
     """Zip the esmarc_spark package; content-addressed so repeated sessions
     reuse the same artifact and changed code gets a fresh one."""
+    # *.json rides along for package data (e.g. lookups/bpe_merges.json),
+    # loaded zip-safely via importlib.resources on executors
     sources = sorted(
-        p for p in PACKAGE_ROOT.rglob("*.py") if "__pycache__" not in p.parts
+        p
+        for pat in ("*.py", "*.json")
+        for p in PACKAGE_ROOT.rglob(pat)
+        if "__pycache__" not in p.parts
     )
     digest = hashlib.sha256()
     for p in sources:

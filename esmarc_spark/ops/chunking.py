@@ -24,9 +24,21 @@ def chunk_documents(
     chunk_tokens: int = 512,
     overlap: int = 64,
     text: str = "text",
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """(doc_id, chunk_id, n_tokens, chunk) — chunk_id is 0-based and
-    ordered; n_tokens is the chunk's own token count."""
+    ordered; n_tokens is the chunk's own token count.
+
+    ``tokenizer="whitespace"`` (default) is pure Catalyst; ``"bpe"``
+    windows on REAL merge-based BPE tokens (ops.bpe — one Arrow
+    tokenization pass, Catalyst windowing) so ``chunk_tokens`` is an
+    actual model-context budget."""
+    if tokenizer == "bpe":
+        from esmarc_spark.ops.bpe import chunk_documents_bpe
+
+        return chunk_documents_bpe(documents, chunk_tokens, overlap, text)
+    if tokenizer != "whitespace":
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
     step = chunk_tokens - overlap
