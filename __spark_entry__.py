@@ -418,6 +418,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return tcb(_t(spark, sf, "documents")).orderBy("doc_id")
 
+    def quality_model_scores(spark, sf):
+        # hashed n-gram linear quality classifier (vendored
+        # deterministic weights, pure-JVM portable-md5 hashing + ordered
+        # fold dot product). Oracle replays the identical hashing/dot
+        # product in DuckDB — a live replay, not a golden.
+        from esmarc_spark.ops.quality_model import quality_model_score
+
+        return quality_model_score(
+            _t(spark, sf, "documents").select("doc_id", "text")
+        ).orderBy("doc_id")
+
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
 
@@ -926,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_blocklist": host_blocklist,
         "chunk_windows": chunk_windows,
         "token_counts_bpe": token_counts_bpe,
+        "quality_model_scores": quality_model_scores,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard": dedup_jaccard,
@@ -1125,6 +1137,10 @@ GROUP BY lang_guess ORDER BY lang_guess
             "FROM read_json_auto('/root/repo/tests/golden/bpe_counts.ldj') "
             "ORDER BY doc_id"
         ),
+        "quality_model_scores": __import__(
+            "esmarc_spark.ops.quality_model", fromlist=["quality_model_sql"]
+        ).quality_model_sql("SELECT doc_id, text FROM documents")
+        + " ORDER BY doc_id",
         "dedup_survivors": dedup.dedup_survivors_sql(0.5),
         "sample_stratified": __import__(
             "esmarc_spark.ops.sampling", fromlist=["sample_stratified_sql"]
