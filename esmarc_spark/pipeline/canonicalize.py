@@ -74,7 +74,10 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 1
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) string edges -> (node, component) with component = min uri.
 
@@ -96,24 +99,31 @@ def connected_components(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    prev = None
+    prev = cur = None
+    rounds = 0
     for i in range(max_iter):
         e = _small_star(_large_star(e))
+        rounds = i + 1
         if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
             e = e.localCheckpoint(eager=True)
             cur = _checksum(e)
             if cur == prev:
                 break
             prev = cur
+    if stats is not None:
+        # observability for scale benches: rounds actually run and the
+        # converged edge count (cur is (n_edges, checksum))
+        stats["cc_rounds"] = rounds
+        stats["cc_edges"] = cur[0] if cur is not None else 0
     # after convergence every edge points node -> component min
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
     return members.union(roots).distinct()
 
 
-def canonical_mapping(edges: DataFrame) -> DataFrame:
+def canonical_mapping(edges: DataFrame, stats: dict | None = None) -> DataFrame:
     """(uri -> canonical_uri) dim, identity rows included for roots."""
-    cc = connected_components(edges)
+    cc = connected_components(edges, stats=stats)
     return cc.select(F.col("node").alias("uri"), F.col("component").alias("canonical_uri"))
 
 
