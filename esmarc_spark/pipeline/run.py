@@ -29,6 +29,83 @@ from esmarc_spark.pipeline.mentions import (
 from esmarc_spark.pipeline.checkpoint import CheckpointStore
 
 
+# Gopher-style repetition gate defaults: (max dup_line_frac,
+# max dup_char_frac, max top_bigram_frac)
+GOPHER_REPETITION_THRESHOLDS: tuple[float, float, float] = (0.30, 0.20, 0.18)
+
+
+def prepare_docs(
+    webtext: DataFrame,
+    *,
+    canonical_url_dedup: bool = False,
+    main_content: bool = False,
+    charset_aware: bool = False,
+    legacy_charsets: bool = False,
+    host_blocklist: DataFrame | None = None,
+    repetition_thresholds: tuple[float, float, float] | None = None,
+    pii_scrub: bool = False,
+    url_dedup: bool = True,
+) -> DataFrame:
+    """The shared S0.5-S1.5 curation front-end: webtext in, curated docs
+    out. ``run_pipeline`` and the streaming foreachBatch runner both call
+    THIS function, so batch and streaming curation semantics are identical
+    by construction (round 6 — VERDICT r5 #7).
+
+    Stage order (each gate only pays for rows the previous one kept):
+
+    1. host blocklist — url-only anti join, before anything touches html;
+    2. canonical-url dedup — collapses url variants before S1;
+    3. legacy-charset decode + S1 extraction (+ per-url dedup unless
+       ``url_dedup=False`` — the streaming path defers cross-batch url
+       dedup to the downstream idempotent sink);
+    4. repetition gate — row-local Gopher dup-line/char/top-bigram
+       fractions vs ``repetition_thresholds`` (see
+       GOPHER_REPETITION_THRESHOLDS);
+    5. PII scrub — rewrites ``text`` in place. Runs AFTER the repetition
+       gate (documented order: gating sees the original text, scrubbed
+       placeholders can't shift the repetition stats).
+
+    Every gate is a map-only expression or a broadcast anti join — no new
+    shuffle enters the pipeline for any combination of flags."""
+    if host_blocklist is not None:
+        from esmarc_spark.ops.urlnorm import filter_by_host_blocklist
+
+        webtext = filter_by_host_blocklist(webtext, host_blocklist)
+    if canonical_url_dedup:
+        from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
+
+        webtext = dedup_by_canonical_url(webtext)
+    if legacy_charsets:
+        from esmarc_spark.pipeline.extract_text import extract_legacy_text
+
+        # same main_content flag as with_extracted_text below, so legacy
+        # and JVM-decoded rows get identical extraction semantics
+        webtext = extract_legacy_text(webtext, main_content=main_content)
+    docs = with_extracted_text(
+        webtext, main_content=main_content, charset_aware=charset_aware
+    )
+    if url_dedup:
+        docs = dedup_by_url(docs)
+    if repetition_thresholds is not None:
+        from esmarc_spark.ops.text import (
+            duplicate_line_char_fraction,
+            duplicate_line_fraction,
+            top_bigram_fraction,
+        )
+
+        max_line, max_char, max_bigram = repetition_thresholds
+        docs = docs.where(
+            (duplicate_line_fraction("text") <= max_line)
+            & (duplicate_line_char_fraction("text") <= max_char)
+            & (top_bigram_fraction("text") <= max_bigram)
+        )
+    if pii_scrub:
+        from esmarc_spark.ops.pii import scrub_pii
+
+        docs = docs.withColumn("text", scrub_pii("text"))
+    return docs
+
+
 def run_pipeline(
     webtext: DataFrame,
     gazetteer: DataFrame,
@@ -40,6 +117,9 @@ def run_pipeline(
     main_content: bool = False,
     charset_aware: bool = False,
     legacy_charsets: bool = False,
+    host_blocklist: DataFrame | None = None,
+    repetition_thresholds: tuple[float, float, float] | None = None,
+    pii_scrub: bool = False,
 ) -> DataFrame:
     """S1 extract -> dedup -> S2 mentions -> S3 link -> (S4 canonicalize)
     -> S5 triples. Returns the triples DataFrame (lazy).
@@ -65,21 +145,25 @@ def run_pipeline(
     * legacy_charsets: pre-fill text for Shift-JIS/GBK/... rows via the
       split-union Arrow path (extract_legacy_text) — only the declared-
       legacy minority crosses into Python.
+
+    The round-6 curation knobs (also default OFF; see ``prepare_docs``
+    for stage order and scale notes):
+
+    * host_blocklist: one-column ``host`` dim; rows whose url host is a
+      blocked host or a subdomain of one are dropped before S1.
+    * repetition_thresholds: (dup_line, dup_char, top_bigram) maxima —
+      e.g. GOPHER_REPETITION_THRESHOLDS — applied to extracted text.
+    * pii_scrub: redact email/IPv4/phone in ``text`` before mentions.
     """
-    if canonical_url_dedup:
-        from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
-
-        webtext = dedup_by_canonical_url(webtext)
-    if legacy_charsets:
-        from esmarc_spark.pipeline.extract_text import extract_legacy_text
-
-        # same main_content flag as with_extracted_text below, so legacy
-        # and JVM-decoded rows get identical extraction semantics
-        webtext = extract_legacy_text(webtext, main_content=main_content)
-    docs = dedup_by_url(
-        with_extracted_text(
-            webtext, main_content=main_content, charset_aware=charset_aware
-        )
+    docs = prepare_docs(
+        webtext,
+        canonical_url_dedup=canonical_url_dedup,
+        main_content=main_content,
+        charset_aware=charset_aware,
+        legacy_charsets=legacy_charsets,
+        host_blocklist=host_blocklist,
+        repetition_thresholds=repetition_thresholds,
+        pii_scrub=pii_scrub,
     )
     if mentions_mode == "ngram":
         mentions = detect_mentions_ngram(docs, gazetteer)
