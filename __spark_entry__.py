@@ -336,6 +336,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def dedup_incremental_survivors(spark, sf):
+        # the round-6 incremental path must reproduce from-scratch
+        # dedup_corpus EXACTLY: commit the corpus as two dumps (even then
+        # odd doc_ids) against a fresh persisted signature/mapping state,
+        # and hash-compare the global survivor view against the SAME
+        # RECURSIVE-CTE oracle the from-scratch query uses
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.dedup_incremental import (
+            dedup_incremental_dump,
+            incremental_survivors,
+        )
+
+        docs = _t(spark, sf, "documents")
+        dump_a = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        dump_b = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        state_root = tempfile.mkdtemp(prefix="dedup_incr_oracle_")
+        dedup_incremental_dump(spark, dump_a, state_root, "even", threshold=0.5)
+        dedup_incremental_dump(
+            spark, dump_b, state_root, "odd", history_docs=dump_a, threshold=0.5
+        )
+        return (
+            incremental_survivors(spark, state_root, docs)
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+        )
+
     def sample_stratified(spark, sf):
         # deterministic data mixing: per-source keep rates decided by a
         # portable md5 hash of the key, so BOTH engines must select the
@@ -932,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "pii_scrub": pii_scrub,
         "dedup_survivors": dedup_survivors,
+        "dedup_incremental_survivors": dedup_incremental_survivors,
         "sample_stratified": sample_stratified,
         "decontaminate_pairs": decontaminate_pairs,
         "host_blocklist": host_blocklist,
@@ -1142,6 +1172,9 @@ GROUP BY lang_guess ORDER BY lang_guess
         ).quality_model_sql("SELECT doc_id, text FROM documents")
         + " ORDER BY doc_id",
         "dedup_survivors": dedup.dedup_survivors_sql(0.5),
+        # the incremental path is graded against the IDENTICAL from-scratch
+        # oracle — the equality is the contract (VERDICT r5 #2)
+        "dedup_incremental_survivors": dedup.dedup_survivors_sql(0.5),
         "sample_stratified": __import__(
             "esmarc_spark.ops.sampling", fromlist=["sample_stratified_sql"]
         ).sample_stratified_sql(
