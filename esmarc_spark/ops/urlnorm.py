@@ -111,7 +111,9 @@ GROUP BY curl ORDER BY curl
 """
 
 
-def dedup_by_canonical_url(webtext: DataFrame) -> DataFrame:
+def dedup_by_canonical_url(
+    webtext: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """One row per canonical url: latest crawl wins (max_by warc_ts,
     ties broken by the raw url for determinism). Single uniform-keyed
     shuffle; composes in front of the pipeline's dedup_by_url.
@@ -119,11 +121,15 @@ def dedup_by_canonical_url(webtext: DataFrame) -> DataFrame:
     The survivor struct is built from ``webtext.columns`` (like
     dedup_by_url), so extra columns — text_extracted provenance, a
     sniffed charset, anything a caller added — survive the dedup
-    regardless of compose order."""
+    regardless of compose order.
+
+    ``group_cols`` adds extra grouping keys: the single-job backfill
+    passes ("pday",) so canonical dedup stays PER-DAY, byte-identical
+    to running the per-day loop (round 6)."""
     cols = webtext.columns
     return (
         webtext.withColumn("_curl", canonical_url(F.col("url")))
-        .groupBy("_curl")
+        .groupBy("_curl", *group_cols)
         .agg(
             F.max_by(
                 F.struct(*cols), F.struct("warc_ts", "url")

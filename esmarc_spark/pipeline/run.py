@@ -189,6 +189,7 @@ def _backfill_one_job(
     pending: list[str],
     out_root: str,
     run_id: str,
+    curation: dict | None = None,
 ) -> list[str]:
     """All pending day partitions in ONE Spark write job (round 5 —
     VERDICT r4 #2 perf-weak item: the per-day driver loop serialized a
@@ -209,11 +210,33 @@ def _backfill_one_job(
     Crash granularity is the whole backfill (no lineage rows are
     recorded until the write commits), and the write is the same
     idempotent dynamic-partition overwrite — a re-run replaces, never
-    duplicates."""
+    duplicates.
+
+    ``curation`` (round 6) carries prepare_docs flags. Row-local gates
+    (repetition, PII, charset, legacy decode) apply to the folded frame
+    unchanged — they never read the url. The two NON-row-local gates run
+    BEFORE the pday fold, because a folded "2024-01-01https://..." url
+    would defeat host parsing and url canonicalization: the host
+    blocklist is a row-level filter (day-independent by construction),
+    and canonical dedup groups per (pday, canonical_url) via
+    ``group_cols`` so the winner set is byte-identical to the per-day
+    loop."""
     t0 = time.time()
     part = partitioned.where(F.col("pday").isin(pending))
-    keyed = part.withColumn("url", F.concat(F.col("pday"), F.col("url")))
-    docs = dedup_by_url(with_extracted_text(keyed))
+    cur = dict(curation or {})
+    host_bl = cur.pop("host_blocklist", None)
+    canon = cur.pop("canonical_url_dedup", False)
+    work = part
+    if host_bl is not None:
+        from esmarc_spark.ops.urlnorm import filter_by_host_blocklist
+
+        work = filter_by_host_blocklist(work, host_bl)
+    if canon:
+        from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
+
+        work = dedup_by_canonical_url(work, group_cols=("pday",))
+    keyed = work.withColumn("url", F.concat(F.col("pday"), F.col("url")))
+    docs = prepare_docs(keyed, **cur)
     mentions = detect_mentions_ngram(docs, gazetteer)
     linked = link_mentions(mentions, gazetteer)
     if canonical_map is not None:
@@ -297,6 +320,7 @@ def run_incremental(
     same_as_edges: DataFrame | None = None,
     fail_after_partitions: int | None = None,
     mode: str = "auto",
+    curation: dict | None = None,
 ) -> dict:
     """Checkpoint-resumable run over days(warc_ts) partitions.
 
@@ -308,6 +332,11 @@ def run_incremental(
     ``fail_after_partitions`` injects a crash for the kill/rerun test
     (implies the loop path — the injection point is between partitions).
     Returns a lineage summary dict.
+
+    ``curation`` (round 6) forwards prepare_docs flags — the loop path
+    hands them to ``run_pipeline`` verbatim; the batch path applies the
+    same gates with per-day grouping (see ``_backfill_one_job``), so
+    both paths stay byte-identical with any flag combination (tested).
     """
     store = CheckpointStore(spark, out_root)
     run_id = uuid.uuid4().hex[:12]
@@ -331,7 +360,7 @@ def run_incremental(
     if use_batch:
         processed = _backfill_one_job(
             spark, store, partitioned, gazetteer, canonical_map,
-            pending, out_root, run_id,
+            pending, out_root, run_id, curation,
         )
         return {
             "run_id": run_id,
@@ -347,7 +376,8 @@ def run_incremental(
         t0 = time.time()
         part = partitioned.where(F.col("pday") == pday)
         triples = run_pipeline(
-            part, gazetteer, canonical_map=canonical_map, source_index=pday
+            part, gazetteer, canonical_map=canonical_map, source_index=pday,
+            **(curation or {}),
         ).withColumn("pday", F.lit(pday))
         triples.write.mode("overwrite").partitionBy("pday").parquet(
             f"{out_root}/triples"

@@ -142,3 +142,73 @@ def test_backfill_corrupt_readback_raises_not_done(spark, tmp_path, inputs):
         for r in CheckpointStore(spark, root).completed_partitions().collect()
     )
     assert len(done) == 3, done  # only the original run's days
+
+
+def test_backfill_matches_loop_with_curation(spark, tmp_path):
+    """Round 6: loop and single-job backfill must stay byte-identical
+    with the curation gates ON — the batch path re-groups canonical
+    dedup per (pday,) and runs the blocklist pre-fold, so any
+    divergence would show here."""
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.pipeline.run import GOPHER_REPETITION_THRESHOLDS
+
+    base = synth_webtext(spark, n_docs=150, partitions=4, dup_fraction=0).withColumn(
+        "_i", F.regexp_extract("url", r"([0-9]+)$", 1).cast("int")
+    )
+    i = F.col("_i")
+    rep = F.concat_ws("\n", *([F.col("text")] + [F.lit("repeat me please now")] * 20))
+    wt = (
+        base.withColumn(
+            "url",
+            F.when(
+                i % 10 == 0,
+                F.concat(F.lit("https://sub.spam.example/page/"), i.cast("string")),
+            )
+            .when(
+                # canonical-dup variants: tracking param + explicit :443
+                i % 9 == 1,
+                F.concat(F.col("url"), F.lit("?utm_source=feed")),
+            )
+            .otherwise(F.col("url")),
+        )
+        .withColumn(
+            "text",
+            F.when((i % 7 == 3) & F.col("text").isNotNull(), rep).otherwise(
+                F.col("text")
+            ),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                (i % 5 == 1) & F.col("text").isNotNull(),
+                F.concat(F.col("text"), F.lit(" mail bob@example.com")),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "warc_ts",
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.pmod(F.xxhash64("url"), F.lit(3)) * 86400
+            ),
+        )
+        .drop("_i")
+        .cache()
+    )
+    gaz = gazetteer_df(spark)
+    blocked = spark.createDataFrame([("spam.example",)], "host string")
+    curation = dict(
+        canonical_url_dedup=True,
+        host_blocklist=blocked,
+        repetition_thresholds=GOPHER_REPETITION_THRESHOLDS,
+        pii_scrub=True,
+    )
+
+    loop_root = str(tmp_path / "loop")
+    batch_root = str(tmp_path / "batch")
+    run_incremental(spark, wt, gaz, loop_root, mode="loop", curation=curation)
+    run_incremental(spark, wt, gaz, batch_root, mode="batch", curation=curation)
+    loop_triples = _read_triples(spark, loop_root)
+    assert _read_triples(spark, batch_root) == loop_triples
+    assert loop_triples and not any(
+        "spam.example" in subj for subj, _, _, _ in loop_triples
+    )
