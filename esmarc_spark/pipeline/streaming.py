@@ -54,6 +54,12 @@ def page_triples(
         docs = prepare_docs(webtext, url_dedup=False, **curation)
     else:
         docs = with_extracted_text(webtext)
+    return _docs_to_page_triples(docs, gazetteer, source_index)
+
+
+def _docs_to_page_triples(
+    docs: DataFrame, gazetteer: DataFrame, source_index: str
+) -> DataFrame:
     mentions = detect_mentions_ngram(docs, gazetteer)
     linked = link_mentions(mentions, gazetteer)
     entity_id = F.concat(
@@ -102,6 +108,7 @@ def run_page_triples_foreach_batch(
     max_files_per_trigger: int | None = None,
     stream: DataFrame | None = None,
     curation: dict | None = None,
+    corpus_dedup: dict | None = None,
 ) -> None:
     """Streaming rendering of the LARGE-gazetteer mention path (round 4 —
     VERDICT r3 #2): foreachBatch runs the batch Bloom+broadcast-join
@@ -125,7 +132,22 @@ def run_page_triples_foreach_batch(
 
     ``curation`` (round 6) forwards prepare_docs keyword flags — host
     blocklist, canonical-url dedup, repetition gate, PII scrub — into
-    every micro-batch; see page_triples."""
+    every micro-batch; see page_triples.
+
+    ``corpus_dedup`` (round 6) makes the drop-box NEVER emit a page
+    already ingested by an earlier micro-batch or an earlier run: each
+    batch commits as one dump of ops.dedup_incremental against the
+    persisted signature state under ``state_root`` (required key; other
+    keys tune dedup_incremental_dump). The batch's full curated docs are
+    persisted to a ``docs_store`` (default ``<table_dir>.docs``,
+    overwritten per batch_id — replay-idempotent like the triple sink)
+    BEFORE the dedup, because history must cover dropped docs too, and
+    earlier batches' stores serve as the lazy history side (candidate
+    semi-join only). Doc identity is (batch_id << 47) | 47-bit url hash,
+    so the min-id cluster representative is always the FIRST batch that
+    saw the content — emission stays append-only, and a replayed batch
+    finds its dump already committed and rewrites byte-identical
+    output."""
     gazetteer = gazetteer.cache()
     if stream is None:
         reader = spark.readStream.schema(WEBTEXT_SCHEMA)
@@ -133,8 +155,39 @@ def run_page_triples_foreach_batch(
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(input_dir)
 
+    def _batch_docs(batch_df: DataFrame) -> DataFrame:
+        if curation:
+            from esmarc_spark.pipeline.run import prepare_docs
+
+            return prepare_docs(batch_df, url_dedup=False, **curation)
+        return with_extracted_text(batch_df)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        page_triples(batch_df, gazetteer, source_index, curation=curation).write.mode(
+        docs = _batch_docs(batch_df)
+        if corpus_dedup is not None:
+            from esmarc_spark.ops.dedup_incremental import dedup_incremental_dump
+
+            cd = dict(corpus_dedup)
+            state_root = cd.pop("state_root")
+            docs_store = cd.pop("docs_store", f"{table_dir}.docs")
+            doc_id = F.lit(int(batch_id)).cast("long") * F.lit(1 << 47) + F.pmod(
+                F.xxhash64("url"), F.lit(1 << 47)
+            )
+            docs.withColumn("doc_id", doc_id).write.mode("overwrite").parquet(
+                f"{docs_store}/batch_id={batch_id}"
+            )
+            stored = spark.read.parquet(docs_store)
+            new_docs = stored.where(F.col("batch_id") == batch_id).drop("batch_id")
+            hist = stored.where(F.col("batch_id") < batch_id).drop("batch_id")
+            docs = dedup_incremental_dump(
+                spark,
+                new_docs,
+                state_root,
+                str(batch_id),
+                history_docs=hist,
+                **cd,
+            ).drop("doc_id")
+        _docs_to_page_triples(docs, gazetteer, source_index).write.mode(
             "overwrite"
         ).parquet(f"{table_dir}/batch_id={batch_id}")
 

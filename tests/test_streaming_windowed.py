@@ -453,3 +453,67 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     triples = run_pipeline(spark.read.parquet(in_dir), gaz, **curation)
     subj = [r.subj for r in triples.select("subj").distinct().collect()]
     assert subj and not any("spam.example" in s for s in subj)
+
+
+def test_streaming_corpus_dedup_drop_box(spark, tmp_path):
+    """Round 6: a parquet drop-box with corpus_dedup never re-emits a
+    page whose content an earlier micro-batch (or earlier run) already
+    ingested — each batch commits as a dump of ops.dedup_incremental
+    with the persisted docs store as history."""
+    from esmarc_spark.pipeline.streaming import (
+        read_page_triples,
+        run_page_triples_foreach_batch,
+    )
+
+    in_dir = str(tmp_path / "in")
+    gaz = gazetteer_df(spark)
+    base = (
+        synth_webtext(spark, n_docs=60, partitions=2, dup_fraction=0)
+        .where(F.col("text").isNotNull())
+        .withColumn("_i", F.regexp_extract("url", r"([0-9]+)$", 1).cast("int"))
+        .withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(12)),
+                        lambda j: F.concat(F.lit("u"), F.col("_i"), F.lit("x"), j),
+                    ),
+                ),
+            ),
+        )
+        .cache()
+    )
+    drop1 = base.where(F.col("_i") % 2 == 0).drop("_i")
+    # second drop: copies of drop1's pages under new urls + genuinely new docs
+    copies = drop1.withColumn("url", F.concat(F.col("url"), F.lit("-copy")))
+    fresh = base.where(F.col("_i") % 2 == 1).drop("_i")
+    drop2 = copies.unionByName(fresh)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cd = {"state_root": str(tmp_path / "state")}
+
+    def run():
+        run_page_triples_foreach_batch(
+            spark, in_dir, gaz, out, ckpt, corpus_dedup=cd
+        )
+        return sorted(map(tuple, read_page_triples(spark, out).collect()))
+
+    drop1.repartition(1).write.parquet(in_dir)
+    got1 = run()
+    assert got1 and not any("-copy" in s for s, _, _ in got1)
+
+    drop2.repartition(1).write.mode("append").parquet(in_dir)
+    got2 = run()
+    subjects = {s for s, _, _ in got2}
+    # copies of already-ingested content never emit; fresh docs do
+    assert not any("-copy" in s for s in subjects)
+    assert any(s in subjects for s in {r.url for r in fresh.select("url").collect()})
+    assert set(got1) <= set(got2)
+
+    # catch-up rerun with nothing new: byte-stable
+    assert run() == got2
