@@ -458,6 +458,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id", "text")
         ).orderBy("doc_id")
 
+    def host_pagerank(spark, sf):
+        # host link-graph + deterministic scaled-integer PageRank: pages
+        # and hrefs synthesized from doc_id (hub residues, dangling
+        # sinks, relative links that must drop); oracle unrolls the
+        # SAME integer fixpoint as CTEs
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.linkgraph import host_pagerank as hpr
+
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://h"), F.pmod(d, F.lit(97)).cast("string"),
+            F.lit(".example/p/"), d.cast("string"),
+        )
+        html = F.concat(
+            F.lit('<a href="https://h'),
+            F.pmod(d * 13 + 7, F.lit(97)).cast("string"),
+            F.lit('.example/x">a</a><a href="HTTPS://H'),
+            F.pmod(d * 29 + 3, F.lit(61)).cast("string"),
+            F.lit('.EXAMPLE/y">b</a>'),
+            F.when(
+                F.pmod(d, F.lit(11)) == 0,
+                F.concat(
+                    F.lit('<a href="https://sink'),
+                    F.pmod(d, F.lit(5)).cast("string"),
+                    F.lit('.example/z">c</a>'),
+                ),
+            ).otherwise(F.lit('<a href="/relative/p">r</a>')),
+        )
+        pages = _t(spark, sf, "documents").select(
+            url.alias("url"), html.alias("html")
+        )
+        return hpr(pages, iterations=5).orderBy("host")
+
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
 
@@ -968,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": chunk_windows,
         "token_counts_bpe": token_counts_bpe,
         "quality_model_scores": quality_model_scores,
+        "host_pagerank": host_pagerank,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard": dedup_jaccard,
@@ -1146,6 +1181,22 @@ GROUP BY lang_guess ORDER BY lang_guess
             0.5,
         )
         + " ORDER BY doc_id, bench_id",
+        "host_pagerank": __import__(
+            "esmarc_spark.ops.linkgraph", fromlist=["host_pagerank_sql"]
+        ).host_pagerank_sql(
+            """SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
+                 || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<a href="https://h' || CAST((doc_id * 13 + 7) % 97 AS VARCHAR)
+                 || '.example/x">a</a><a href="HTTPS://H'
+                 || CAST((doc_id * 29 + 3) % 61 AS VARCHAR)
+                 || '.EXAMPLE/y">b</a>'
+                 || CASE WHEN doc_id % 11 = 0
+                      THEN '<a href="https://sink' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.example/z">c</a>'
+                      ELSE '<a href="/relative/p">r</a>' END AS html
+               FROM documents""",
+            5,
+        ),
         "host_blocklist": __import__(
             "esmarc_spark.ops.urlnorm", fromlist=["host_blocklist_sql"]
         ).host_blocklist_sql(

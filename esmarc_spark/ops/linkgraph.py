@@ -1,0 +1,265 @@
+"""Web link-graph construction + PageRank-style host authority.
+
+Training-data curation pipelines rank crawl hosts by link authority
+(CCNet/RefinedWeb-style quality stratification uses centrality over the
+host graph; the reference's analogous signal is its authority-ID link
+degree, esmarc.py getsameAs/getentity edges) — this module builds the
+host-level graph straight from crawled HTML and computes a deterministic
+PageRank over it, all as DataFrame ops.
+
+Two design decisions worth stating:
+
+* **Host level, not page level.** At 100 TB the page graph has ~10^12
+  nodes; the host graph (~10^8) is what curation actually consumes, and
+  host aggregation is a map-side hash shrink BEFORE the first shuffle
+  (`extract_outlinks` distincts (src,dst) host pairs, so edge volume is
+  bounded by host-pair cardinality, not link count).
+
+* **Scaled-integer arithmetic.** Ranks are maintained as
+  ``rank_scaled = floor(rank * SCALE)`` int64, every operation an exact
+  integer floor — because float PageRank is not reproducible across
+  engines (sum order changes low bits, so a DuckDB replay can never
+  hash-match) and not reproducible across CLUSTER SIZES either (a
+  different partitioning changes float sum order run to run). The
+  integer formulation makes the result bit-identical at any parallelism
+  — the property the north rule's two-cluster-size criterion needs —
+  at a rank resolution of 1/SCALE (1e-12), far below anything a
+  curation threshold can see. Real-valued ranks are
+  ``rank_scaled / SCALE``.
+
+Iteration mechanics (the Spark-shaped parts):
+
+* static relations (edges+outdegree, dangling-host set) are computed
+  once, repartitioned on the join key, and localCheckpointed — each
+  iteration only shuffles the (small) rank relation;
+* ranks are **eagerly** localCheckpointed every round: each round scans
+  the previous ranks twice (contribution join + dangling-mass agg), so
+  an unbroken lineage grows 2^k (measured in BENCH/cc_skew.json for the
+  same pattern in connected components);
+* the dangling mass is a one-row aggregate attached via broadcast
+  crossJoin — no driver collect in the loop;
+* hub in-degrees (the Zipf reality of the web host graph) are absorbed
+  by partial aggregation in ``groupBy(dst).sum`` — the skewed side
+  never concentrates on one task before a map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from esmarc_spark.ops.urlnorm import host_of
+
+SCALE = 10**12
+
+# href attribute values; RE2-safe (no backreferences/lookaround) so the
+# DuckDB oracle runs the IDENTICAL pattern
+HREF_PATTERN = r'href="([^"]*)"'
+_HOST_PATTERN_SQL = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+
+def _fdiv(a: F.Column, b) -> F.Column:
+    """Exact floor division for NON-NEGATIVE int64 columns: subtract the
+    remainder, then divide — the double division is of an exact multiple
+    whose quotient is an integer < 2^53, hence exact. (F.floor(a/b)
+    would round through an inexact double; `a DIV b` is Spark-only and
+    this construction is mirrored verbatim in the DuckDB oracle.)"""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def extract_outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst) host-level edges from raw HTML: every absolute
+    href on a page links its host to the target host. Relative links
+    carry no host signal and are dropped; self-links likewise. The
+    distinct() is the map-side shrink that makes the edge relation
+    scale with host-pair cardinality instead of raw link count."""
+    links = pages.select(
+        host_of(F.col(url_col)).alias("src"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), F.lit(1))
+        ).alias("href"),
+    )
+    return (
+        links.select("src", host_of(F.col("href")).alias("dst"))
+        .where((F.col("src") != "") & (F.col("dst") != "") & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Deterministic scaled-integer PageRank over a (src, dst) edge
+    relation. Returns (host, rank_scaled) where rank_scaled is int64
+    floor(rank * scale); damping d = damping_num/damping_den.
+
+    Update rule (all floors exact int64):
+        r0(v)   = scale // N
+        contrib = sum over in-edges of  r(u) // outdeg(u)
+        dshare  = (sum of r over dangling hosts) // N
+        r'(v)   = teleport//N + d*(contrib(v) + dshare) // 1
+
+    Fixed iteration count (no float convergence test) keeps the result
+    a pure function of the input — the contract every oracle-checked
+    operator in this repo holds.
+    """
+    edges = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # one scalar action up front (bounded lineage scalar, same class as
+    # run.py's day lists); everything in the loop stays distributed
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("host", F.lit(0).cast("long").alias("rank_scaled"))
+
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # static per-iteration join input: edges carrying their src outdegree,
+    # partitioned on the join key so each round only shuffles ranks
+    edges_od = (
+        edges.join(outdeg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    dangling_hosts = (
+        nodes.join(outdeg.withColumnRenamed("src", "host"), "host", "anti")
+        .localCheckpoint(eager=False)
+    )
+
+    teleport = ((damping_den - damping_num) * scale) // damping_den
+    base = teleport // n_nodes
+    ranks = nodes.select("host", F.lit(scale // n_nodes).alias("r"))
+
+    for _ in range(iterations):
+        inflow = (
+            edges_od.join(ranks.withColumnRenamed("host", "src"), "src")
+            .select("dst", _fdiv(F.col("r"), F.col("od")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+            .withColumnRenamed("dst", "host")
+        )
+        dang = (
+            ranks.join(dangling_hosts, "host", "semi")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dangling"))
+        )
+        ranks = (
+            nodes.join(inflow, "host", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + _fdiv(
+                        F.lit(damping_num)
+                        * (
+                            F.coalesce(F.col("inflow"), F.lit(0))
+                            + _fdiv(F.col("dangling"), F.lit(n_nodes))
+                        ),
+                        F.lit(damping_den),
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)  # scanned twice next round
+        )
+    return ranks.select("host", F.col("r").alias("rank_scaled"))
+
+
+def host_pagerank(
+    pages: DataFrame,
+    iterations: int = 5,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """HTML pages -> host authority: compose extraction + PageRank."""
+    return pagerank(extract_outlinks(pages, url_col, html_col), iterations)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generators (same arithmetic, independently composed SQL)
+# ---------------------------------------------------------------------------
+
+
+def outlinks_sql(pages_sql: str) -> str:
+    """Host-level edge extraction over a (url, html) relation."""
+    return f"""
+WITH _pages AS ({pages_sql}),
+_links AS (
+  SELECT lower(regexp_extract(url, '{_HOST_PATTERN_SQL}', 1)) AS src,
+         unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+  FROM _pages
+)
+SELECT DISTINCT src,
+       lower(regexp_extract(href, '{_HOST_PATTERN_SQL}', 1)) AS dst
+FROM _links
+WHERE src <> '' AND lower(regexp_extract(href, '{_HOST_PATTERN_SQL}', 1)) <> ''
+  AND src <> lower(regexp_extract(href, '{_HOST_PATTERN_SQL}', 1))
+"""
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+) -> str:
+    """Iteration-unrolled CTE chain computing the identical scaled-integer
+    fixpoint steps (floor division spelled the same (a - a%b)/b way)."""
+    teleport = ((damping_den - damping_num) * scale) // damping_den
+    ctes = [
+        f"_edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)",
+        "_nodes AS (SELECT src AS host FROM _edges UNION SELECT dst FROM _edges)",
+        "_nn AS (SELECT COUNT(*) AS n FROM _nodes)",
+        "_od AS (SELECT src, COUNT(*) AS od FROM _edges GROUP BY src)",
+        f"_r0 AS (SELECT host, CAST(({scale} - {scale} % _nn.n) / _nn.n AS BIGINT) AS r"
+        "  FROM _nodes, _nn)",
+    ]
+    for k in range(iterations):
+        prev, cur = f"_r{k}", f"_r{k + 1}"
+        flow = (
+            f"({damping_num} * (COALESCE(_inf.inflow, 0) + _dg.dshare))"
+        )
+        ctes.append(f"""{cur} AS (
+  SELECT _nodes.host,
+         CAST(({teleport} - {teleport} % _nn.n) / _nn.n AS BIGINT)
+         + CAST(({flow} - {flow} % {damping_den}) / {damping_den} AS BIGINT) AS r
+  FROM _nodes
+  LEFT JOIN (
+    SELECT e.dst AS host,
+           CAST(SUM(CAST((r.r - r.r % o.od) / o.od AS BIGINT)) AS BIGINT) AS inflow
+    FROM _edges e
+    JOIN {prev} r ON r.host = e.src
+    JOIN _od o ON o.src = e.src
+    GROUP BY e.dst
+  ) _inf ON _inf.host = _nodes.host
+  CROSS JOIN (
+    SELECT CAST((d - d % _nn.n) / _nn.n AS BIGINT) AS dshare
+    FROM (
+      SELECT CAST(COALESCE(SUM(CASE WHEN _od.src IS NULL THEN r.r ELSE 0 END), 0) AS BIGINT) AS d
+      FROM _r0_nodes r LEFT JOIN _od ON _od.src = r.host
+    ), _nn
+  ) _dg
+  CROSS JOIN _nn
+)""".replace("_r0_nodes", prev))
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT host, r AS rank_scaled FROM _r{iterations} ORDER BY host"
+    )
+
+
+def host_pagerank_sql(pages_sql: str, iterations: int = 5) -> str:
+    return pagerank_sql(outlinks_sql(pages_sql), iterations)
