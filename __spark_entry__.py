@@ -399,6 +399,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "bench_id"
         )
 
+    def decontaminate_exact_ngrams(spark, sf):
+        # the exact-overlap decontamination flavor (13-gram verbatim
+        # quotation), complementing decontaminate_pairs' Jaccard flavor;
+        # same every-25th-doc benchmark split
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.decontaminate import exact_ngram_contamination
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        bench = docs.where(F.pmod("doc_id", F.lit(25)) == 0).select(
+            (F.col("doc_id") / 25).cast("long").alias("doc_id"), "text"
+        )
+        return exact_ngram_contamination(docs, bench, n=13).orderBy(
+            "doc_id", "bench_id"
+        )
+
     def host_blocklist(spark, sf):
         # subdomain-inclusive host blocklisting via exploded dot-suffix
         # equi-join; urls synthesized deterministically from doc_id
@@ -998,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_survivors": dedup_incremental_survivors,
         "sample_stratified": sample_stratified,
         "decontaminate_pairs": decontaminate_pairs,
+        "decontaminate_exact_ngrams": decontaminate_exact_ngrams,
         "host_blocklist": host_blocklist,
         "chunk_windows": chunk_windows,
         "token_counts_bpe": token_counts_bpe,
@@ -1179,6 +1196,15 @@ GROUP BY lang_guess ORDER BY lang_guess
             "SELECT CAST(doc_id / 25 AS BIGINT) AS doc_id, text "
             "FROM documents WHERE doc_id % 25 = 0",
             0.5,
+        )
+        + " ORDER BY doc_id, bench_id",
+        "decontaminate_exact_ngrams": __import__(
+            "esmarc_spark.ops.decontaminate", fromlist=["exact_ngram_sql"]
+        ).exact_ngram_sql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT CAST(doc_id / 25 AS BIGINT) AS doc_id, text "
+            "FROM documents WHERE doc_id % 25 = 0",
+            13,
         )
         + " ORDER BY doc_id, bench_id",
         "host_pagerank": __import__(

@@ -137,3 +137,97 @@ WHERE p.doc_a < {_SIDE_BOUNDARY}
   AND p.doc_b >= {_SIDE_BOUNDARY}
   AND p.jaccard >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram contamination (round 6)
+# ---------------------------------------------------------------------------
+#
+# The OTHER standard decontamination flavor (GPT-3 appendix C / PaLM):
+# a training doc is contaminated if it shares ANY exact n-gram (n~13)
+# with an eval example — catches verbatim quotation of a benchmark
+# passage inside an otherwise-unrelated page, which Jaccard-over-the-
+# whole-doc misses (a 13-gram quote in a 5k-token page moves doc-level
+# Jaccard by ~0.003, far under any threshold).
+#
+# Scale shape: n-grams are the dedup suite's HASHED shingles (one md5
+# per token, integer polynomial combine — never n-gram strings), the
+# eval side is array_distinct'ed, exploded, and broadcast, so the join
+# is a broadcast hash join against the exploded corpus side with NO
+# shuffle before the (doc_id, bench_id) partial-agg count. Collisions
+# of the 31-bit shingle hash can in principle produce a spurious match;
+# the oracle runs the identical construction, and a production caller
+# worried about the ~1-in-2^31 false flag verifies survivors with the
+# string n-grams (candidates-only, same pattern as ngram_jaccard).
+
+
+def exact_ngram_contamination(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_matches: int = 1,
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared): corpus docs sharing >= min_matches
+    distinct exact (hashed) n-grams with a benchmark doc. Inputs need
+    (doc_id, text)."""
+    from esmarc_spark.ops.dedup import _shingle_hashes, base_hash32
+    from esmarc_spark.ops.text import tokens_col
+
+    th = F.transform(tokens_col(), lambda t: base_hash32(t))
+    corp = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_hashes(th, n))).alias("sh"),
+    )
+    ben = benchmark.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(F.array_distinct(_shingle_hashes(th, n))).alias("sh"),
+    )
+    return (
+        corp.join(F.broadcast(ben), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_matches)
+    )
+
+
+def decontaminate_exact(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Corpus minus exact-n-gram-contaminated docs (schema preserved)."""
+    bad = exact_ngram_contamination(documents, benchmark, n, min_matches)
+    return documents.join(bad.select("doc_id").distinct(), "doc_id", "left_anti")
+
+
+_TH_SQL = (
+    "list_transform(string_split(text, ' '), "
+    "t -> cast('0x' || substr(md5(t), 1, 8) AS bigint))"
+)
+
+
+def exact_ngram_sql(
+    corpus_select: str,
+    bench_select: str,
+    n: int = 13,
+    min_matches: int = 1,
+) -> str:
+    """DuckDB mirror: identical per-token md5 + polynomial shingle
+    hashes, distinct per side, equi-joined and counted."""
+    from esmarc_spark.ops.dedup import _shingle_hashes_sql
+
+    return f"""
+WITH _csh AS (
+  SELECT doc_id, unnest(list_distinct({_shingle_hashes_sql(n)})) AS sh
+  FROM (SELECT doc_id, {_TH_SQL} AS th FROM ({corpus_select}))
+),
+_bsh AS (
+  SELECT doc_id AS bench_id, unnest(list_distinct({_shingle_hashes_sql(n)})) AS sh
+  FROM (SELECT doc_id, {_TH_SQL} AS th FROM ({bench_select}))
+)
+SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM _csh c JOIN _bsh b ON c.sh = b.sh
+GROUP BY c.doc_id, b.bench_id
+HAVING COUNT(*) >= {min_matches}
+"""

@@ -672,3 +672,66 @@ def test_lsh_guard_noop_below_cap(spark):
     g = sorted((r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect())
     u = sorted((r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs, max_bucket_size=None).collect())
     assert g == u
+
+
+def test_exact_ngram_contamination(spark):
+    # a verbatim 13-token benchmark quote inside a long unrelated page:
+    # doc-level Jaccard is tiny (would pass the LSH decontaminator) but
+    # the exact n-gram flavor must flag it
+    from esmarc_spark.ops.decontaminate import (
+        decontaminate_exact,
+        exact_ngram_contamination,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(13))
+    filler = " ".join(f"w{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [
+            (1, filler + " " + quote + " " + filler),
+            (2, filler),
+            (3, " ".join(f"z{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "intro words " + quote + " outro words")],
+        "doc_id long, text string",
+    )
+    pairs = exact_ngram_contamination(docs, bench, n=13).collect()
+    assert [(r.doc_id, r.bench_id, r.n_shared) for r in pairs] == [(1, 100, 1)]
+    clean = sorted(r.doc_id for r in decontaminate_exact(docs, bench, 13).collect())
+    assert clean == [2, 3]
+
+
+def test_exact_ngram_duckdb_parity(spark):
+    import duckdb
+
+    from esmarc_spark.ops.decontaminate import (
+        exact_ngram_contamination,
+        exact_ngram_sql,
+    )
+
+    rows = [
+        (i, " ".join(f"t{(i * 7 + j) % 23}" for j in range(30)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench_rows = [(i, rows[i * 3][1]) for i in range(5)]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.bench_id, r.n_shared)
+        for r in exact_ngram_contamination(docs, bench, n=5).collect()
+    )
+    cvals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    bvals = ", ".join(f"({i}, '{t}')" for i, t in bench_rows)
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            exact_ngram_sql(
+                f"SELECT * FROM (VALUES {cvals}) AS c(doc_id, text)",
+                f"SELECT * FROM (VALUES {bvals}) AS b(doc_id, text)",
+                n=5,
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 5
