@@ -399,6 +399,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "bench_id"
         )
 
+    def dedup_lines(spark, sf):
+        # corpus-level line dedup (RefinedWeb-style): a shared nav line
+        # and per-residue footers injected across docs must be stripped
+        # from EVERY doc while per-doc bodies survive (exact-dup bodies
+        # in the synthetic corpus get stripped too once their group
+        # reaches min_docs — mirrored in the oracle)
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.line_dedup import remove_duplicate_lines
+
+        docs = _t(spark, sf, "documents")
+        t2 = F.concat_ws(
+            "\n",
+            F.lit("SHARED NAV BAR"),
+            F.col("text"),
+            F.concat(F.lit("footer "), F.pmod("doc_id", F.lit(13)).cast("string")),
+        )
+        return (
+            remove_duplicate_lines(
+                docs.select("doc_id", t2.alias("text")), min_docs=2
+            )
+            .select("doc_id", "kept_lines", F.md5("text").alias("text_md5"))
+            .orderBy("doc_id")
+        )
+
     def decontaminate_exact_ngrams(spark, sf):
         # the exact-overlap decontamination flavor (13-gram verbatim
         # quotation), complementing decontaminate_pairs' Jaccard flavor;
@@ -1015,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "decontaminate_pairs": decontaminate_pairs,
         "decontaminate_exact_ngrams": decontaminate_exact_ngrams,
+        "dedup_lines": dedup_lines,
         "host_blocklist": host_blocklist,
         "chunk_windows": chunk_windows,
         "token_counts_bpe": token_counts_bpe,
@@ -1198,6 +1224,15 @@ GROUP BY lang_guess ORDER BY lang_guess
             0.5,
         )
         + " ORDER BY doc_id, bench_id",
+        "dedup_lines": "SELECT doc_id, kept_lines, md5(text) AS text_md5 FROM ("
+        + __import__(
+            "esmarc_spark.ops.line_dedup", fromlist=["remove_duplicate_lines_sql"]
+        ).remove_duplicate_lines_sql(
+            "SELECT doc_id, 'SHARED NAV BAR' || chr(10) || text || chr(10) "
+            "|| 'footer ' || CAST(doc_id % 13 AS VARCHAR) AS text FROM documents",
+            2,
+        )
+        + ") ORDER BY doc_id",
         "decontaminate_exact_ngrams": __import__(
             "esmarc_spark.ops.decontaminate", fromlist=["exact_ngram_sql"]
         ).exact_ngram_sql(

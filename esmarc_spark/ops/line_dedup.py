@@ -1,0 +1,124 @@
+"""Cross-document line-level deduplication (RefinedWeb/CCNet-style).
+
+Web boilerplate survives document-level dedup: a nav bar, cookie
+banner, or footer repeats on millions of PAGES while every page stays
+globally unique as a document. The standard curation counter-move
+(RefinedWeb §"line-wise corrections", CCNet's paragraph hashing) is
+corpus-level: count how many distinct documents each exact line occurs
+in, and strip lines above a repetition threshold from every document.
+This is a different axis from `ops/boilerplate.extract_main_text`
+(within-page structural heuristic) and from `ops/text.repetition_stats`
+(within-document repetition): it needs corpus-wide state.
+
+Scale shape (the 100-TB read):
+
+* lines travel as their 60-bit portable hash the moment they are
+  exploded — the count shuffle and the removal anti-join carry
+  (hash, doc_id) longs, never line strings;
+* the frequency count is distinct-(doc, line) then count — both stages
+  partial-aggregate map-side, so the billion-document boilerplate line
+  arrives at its reducer as one row per upstream partition, not one row
+  per document;
+* the removal join is a left-anti on the hash; the frequent-line
+  relation is the small side (lines repeated across >= min_docs docs),
+  and hot keys on the probe side are plain AQE-handled skew;
+* reassembly is a per-document sort of its own surviving lines
+  (array_sort over collect_list bounded by document size — row-local,
+  no window function over the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from esmarc_spark.ops.hashing import portable_hash, portable_hash_sql
+
+
+def duplicate_line_keys(
+    documents: DataFrame, min_docs: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """(lk, n_docs): portable hash of every line occurring in >=
+    min_docs distinct documents. Empty lines are excluded up front
+    (they would always "repeat" and their removal is a formatting
+    decision, not a dedup one)."""
+    lines = documents.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).where(F.col("line") != "")
+    return (
+        lines.select(portable_hash(F.col("line")).alias("lk"), "doc_id")
+        .distinct()
+        .groupBy("lk")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_duplicate_lines(
+    documents: DataFrame, min_docs: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text, kept_lines): every document with its
+    corpus-frequent lines removed (order of surviving lines preserved;
+    empty lines dropped). Documents reduced to nothing keep a row with
+    text='' and kept_lines=0 — downstream length gates decide their
+    fate, not this operator."""
+    keys = duplicate_line_keys(documents, min_docs, text_col).select("lk")
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).where(F.col("line") != "")
+    kept = lines.withColumn("lk", portable_hash(F.col("line"))).join(
+        keys, "lk", "left_anti"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_text", F.lit("")).alias("text"),
+            F.coalesce("_kept", F.lit(0)).cast("long").alias("kept_lines"),
+        )
+    )
+
+
+def remove_duplicate_lines_sql(
+    docs_select: str, min_docs: int = 2
+) -> str:
+    """DuckDB mirror: identical hash key, count-distinct-docs gate,
+    order-preserving string_agg reassembly."""
+    return f"""
+WITH _docs AS ({docs_select}),
+_split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM _docs),
+_lines AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM _split
+),
+_ne AS (SELECT doc_id, pos, line, {portable_hash_sql("line")} AS lk
+        FROM _lines WHERE line <> ''),
+_freq AS (
+  SELECT lk FROM (SELECT DISTINCT lk, doc_id FROM _ne)
+  GROUP BY lk HAVING COUNT(*) >= {min_docs}
+),
+_kept AS (SELECT * FROM _ne WHERE lk NOT IN (SELECT lk FROM _freq)),
+_rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS _text,
+         CAST(COUNT(*) AS BIGINT) AS _kept
+  FROM _kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r._text, '') AS text,
+       COALESCE(r._kept, 0) AS kept_lines
+FROM _docs d LEFT JOIN _rebuilt r ON d.doc_id = r.doc_id
+"""
