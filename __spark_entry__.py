@@ -399,6 +399,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "bench_id"
         )
 
+    def anchor_gazetteer(spark, sf):
+        # anchor-text surface-form harvesting: the tokens other pages
+        # use when linking to a host, counted by distinct linking page —
+        # web-scale gazetteer construction for the mention linker
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.linkgraph import harvest_anchor_texts
+
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://h"), F.pmod(d, F.lit(97)).cast("string"),
+            F.lit(".example/p/"), d.cast("string"),
+        )
+        html = F.concat(
+            F.lit('<a href="https://h'),
+            F.pmod(d * 13 + 7, F.lit(97)).cast("string"),
+            F.lit('.example/x">Brand '),
+            F.pmod(d, F.lit(7)).cast("string"),
+            F.lit(' Official</a><a href="https://h'),
+            F.pmod(d * 29 + 3, F.lit(61)).cast("string"),
+            F.lit('.example/y" class="ext">Site '),
+            F.pmod(d, F.lit(3)).cast("string"),
+            F.lit("</a>"),
+        )
+        pages = _t(spark, sf, "documents").select(
+            url.alias("url"), html.alias("html")
+        )
+        return harvest_anchor_texts(pages, min_pages=2).orderBy(
+            "host", "token"
+        )
+
     def dedup_lines(spark, sf):
         # corpus-level line dedup (RefinedWeb-style): a shared nav line
         # and per-residue footers injected across docs must be stripped
@@ -1041,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_pairs": decontaminate_pairs,
         "decontaminate_exact_ngrams": decontaminate_exact_ngrams,
         "dedup_lines": dedup_lines,
+        "anchor_gazetteer": anchor_gazetteer,
         "host_blocklist": host_blocklist,
         "chunk_windows": chunk_windows,
         "token_counts_bpe": token_counts_bpe,
@@ -1224,6 +1256,21 @@ GROUP BY lang_guess ORDER BY lang_guess
             0.5,
         )
         + " ORDER BY doc_id, bench_id",
+        "anchor_gazetteer": __import__(
+            "esmarc_spark.ops.linkgraph", fromlist=["harvest_anchor_texts_sql"]
+        ).harvest_anchor_texts_sql(
+            """SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
+                 || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<a href="https://h' || CAST((doc_id * 13 + 7) % 97 AS VARCHAR)
+                 || '.example/x">Brand ' || CAST(doc_id % 7 AS VARCHAR)
+                 || ' Official</a><a href="https://h'
+                 || CAST((doc_id * 29 + 3) % 61 AS VARCHAR)
+                 || '.example/y" class="ext">Site '
+                 || CAST(doc_id % 3 AS VARCHAR) || '</a>' AS html
+               FROM documents""",
+            2,
+        )
+        + " ORDER BY host, token",
         "dedup_lines": "SELECT doc_id, kept_lines, md5(text) AS text_md5 FROM ("
         + __import__(
             "esmarc_spark.ops.line_dedup", fromlist=["remove_duplicate_lines_sql"]

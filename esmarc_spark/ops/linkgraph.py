@@ -263,3 +263,88 @@ def pagerank_sql(
 
 def host_pagerank_sql(pages_sql: str, iterations: int = 5) -> str:
     return pagerank_sql(outlinks_sql(pages_sql), iterations)
+
+
+# ---------------------------------------------------------------------------
+# anchor-text surface-form harvesting (round 6)
+# ---------------------------------------------------------------------------
+#
+# The web-scale analogue of the reference's gazetteer construction
+# (esmarc builds its authority surface forms from curated dumps;
+# web-scale entity linking harvests them from ANCHOR TEXT — the tokens
+# other pages use when linking to a host are that host's strongest
+# surface forms). Output feeds pipeline/mentions.py as a gazetteer:
+# (host, token, n_pages) where n_pages counts DISTINCT linking pages,
+# so a single page repeating a link a thousand times casts one vote.
+#
+# Scale shape: element extraction and per-element group parsing are
+# in-array Catalyst (one regexp_extract_all pass over html, then
+# row-local transforms); the only shuffle is the distinct + count on
+# (dst, token, src) — both partial-aggregate map-side. All-integer
+# output: no float determinism caveats in the oracle.
+
+# one RE2-safe pass: whole <a ...>...</a> elements; href + visible text
+# re-extracted per element (Spark regexp_extract_all returns ONE group,
+# so two groups are pulled row-locally from the matched element)
+ANCHOR_PATTERN = r'<a href="[^"]*"[^>]*>[^<]*</a>'
+
+
+def harvest_anchor_texts(
+    pages: DataFrame,
+    min_pages: int = 2,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(host, token, n_pages): lowercased anchor-text tokens pointing at
+    a host, counted by distinct linking page, thresholded at min_pages.
+    Self-links are excluded (a site's own nav anchors describe its
+    layout, not its name)."""
+    elems = pages.select(
+        host_of(F.col(url_col)).alias("src"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), F.lit(0))
+        ).alias("elem"),
+    )
+    toks = elems.select(
+        "src",
+        host_of(F.regexp_extract("elem", r'href="([^"]*)"', 1)).alias("dst"),
+        F.explode(
+            F.split(F.lower(F.regexp_extract("elem", r">([^<]*)</a>", 1)), " ")
+        ).alias("token"),
+    ).where(
+        (F.col("dst") != "")
+        & (F.col("src") != F.col("dst"))
+        & (F.col("token") != "")
+    )
+    return (
+        toks.select("dst", "token", "src")
+        .distinct()
+        .groupBy(F.col("dst").alias("host"), "token")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .where(F.col("n_pages") >= min_pages)
+    )
+
+
+def harvest_anchor_texts_sql(pages_sql: str, min_pages: int = 2) -> str:
+    """DuckDB mirror: identical element pattern, identical per-element
+    group extraction, identical distinct-page counting."""
+    return f"""
+WITH _pages AS ({pages_sql}),
+_elems AS (
+  SELECT lower(regexp_extract(url, '{_HOST_PATTERN_SQL}', 1)) AS src,
+         unnest(regexp_extract_all(html, '<a href="[^"]*"[^>]*>[^<]*</a>')) AS elem
+  FROM _pages
+),
+_toks AS (
+  SELECT src,
+         lower(regexp_extract(regexp_extract(elem, 'href="([^"]*)"', 1),
+                              '{_HOST_PATTERN_SQL}', 1)) AS dst,
+         unnest(string_split(lower(regexp_extract(elem, '>([^<]*)</a>', 1)), ' ')) AS token
+  FROM _elems
+)
+SELECT dst AS host, token, CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM (SELECT DISTINCT dst, token, src FROM _toks
+      WHERE dst <> '' AND src <> dst AND token <> '')
+GROUP BY dst, token
+HAVING COUNT(*) >= {min_pages}
+"""

@@ -133,3 +133,58 @@ def test_host_pagerank_composition(spark):
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert pagerank(df, 3).count() == 0
+
+
+def test_harvest_anchor_texts(spark):
+    from esmarc_spark.ops.linkgraph import harvest_anchor_texts
+
+    rows = [
+        ("https://p1.example/a", '<a href="https://acme.example/x">Acme Corp</a>'),
+        ("https://p2.example/b", '<a href="https://acme.example/y" rel="nofollow">acme CORP</a>'),
+        # same page repeating the link: one vote per (host, token, page)
+        ("https://p3.example/c",
+         '<a href="https://acme.example/z">Acme</a><a href="https://acme.example/w">Acme</a>'),
+        # self-link: excluded
+        ("https://acme.example/d", '<a href="https://acme.example/e">Acme Corp</a>'),
+        # relative href: no host, excluded
+        ("https://p4.example/f", '<a href="/local">Acme</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = sorted(
+        (r.host, r.token, r.n_pages)
+        for r in harvest_anchor_texts(df, min_pages=2).collect()
+    )
+    # "acme" seen from p1, p2, p3 (p3 counted once, self+relative excluded)
+    assert got == [("acme.example", "acme", 3), ("acme.example", "corp", 2)]
+
+
+def test_harvest_anchor_texts_duckdb_parity(spark):
+    import duckdb
+
+    from esmarc_spark.ops.linkgraph import (
+        harvest_anchor_texts,
+        harvest_anchor_texts_sql,
+    )
+
+    rows = [
+        (
+            f"https://p{i}.example/x",
+            f'<a href="https://t{i % 5}.example/a">brand {i % 3} name</a>'
+            f'<a href="https://t{(i + 2) % 5}.example/b">other label {i % 4}</a>',
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = sorted(
+        tuple(r) for r in harvest_anchor_texts(df, min_pages=2).collect()
+    )
+    vals = ", ".join(f"('{u}', '{h}')" for u, h in rows)
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            harvest_anchor_texts_sql(
+                f"SELECT * FROM (VALUES {vals}) AS p(url, html)", 2
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 10
