@@ -42,6 +42,9 @@ def prepare_docs(
     charset_aware: bool = False,
     legacy_charsets: bool = False,
     host_blocklist: DataFrame | None = None,
+    host_ranks: DataFrame | None = None,
+    min_rank_scaled: int = 0,
+    keep_unranked: bool = True,
     repetition_thresholds: tuple[float, float, float] | None = None,
     pii_scrub: bool = False,
     url_dedup: bool = True,
@@ -54,6 +57,12 @@ def prepare_docs(
     Stage order (each gate only pays for rows the previous one kept):
 
     1. host blocklist — url-only anti join, before anything touches html;
+    1b. host-authority gate — when ``host_ranks`` (host, rank_scaled —
+       ops.linkgraph.pagerank output) is given, drop rows whose host
+       ranks below ``min_rank_scaled``; hosts absent from the rank
+       table pass by default (``keep_unranked=False`` flips to strict
+       allowlisting). CCNet-style quality stratification by link
+       authority, applied before anything touches html;
     2. canonical-url dedup — collapses url variants before S1;
     3. legacy-charset decode + S1 extraction (+ per-url dedup unless
        ``url_dedup=False`` — the streaming path defers cross-batch url
@@ -65,12 +74,30 @@ def prepare_docs(
        gate (documented order: gating sees the original text, scrubbed
        placeholders can't shift the repetition stats).
 
-    Every gate is a map-only expression or a broadcast anti join — no new
-    shuffle enters the pipeline for any combination of flags."""
+    Every gate except 1b is a map-only expression or a broadcast anti
+    join — no new shuffle for any combination of those flags. The
+    host-authority gate is an equi-join on the map-side-derived host:
+    at web scale the rank dim (~10^8 hosts) exceeds broadcast limits,
+    so it plans as a one-shuffle hash join (AQE downgrades it to a
+    broadcast automatically whenever the filtered rank side is small)."""
     if host_blocklist is not None:
         from esmarc_spark.ops.urlnorm import filter_by_host_blocklist
 
         webtext = filter_by_host_blocklist(webtext, host_blocklist)
+    if host_ranks is not None:
+        from esmarc_spark.ops.urlnorm import host_of
+
+        keyed = webtext.withColumn("__host", host_of(F.col("url")))
+        if keep_unranked:
+            gate_side = host_ranks.where(
+                F.col("rank_scaled") < min_rank_scaled
+            ).select(F.col("host").alias("__host"))
+            webtext = keyed.join(gate_side, "__host", "anti").drop("__host")
+        else:
+            gate_side = host_ranks.where(
+                F.col("rank_scaled") >= min_rank_scaled
+            ).select(F.col("host").alias("__host"))
+            webtext = keyed.join(gate_side, "__host", "semi").drop("__host")
     if canonical_url_dedup:
         from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
 
@@ -118,6 +145,9 @@ def run_pipeline(
     charset_aware: bool = False,
     legacy_charsets: bool = False,
     host_blocklist: DataFrame | None = None,
+    host_ranks: DataFrame | None = None,
+    min_rank_scaled: int = 0,
+    keep_unranked: bool = True,
     repetition_thresholds: tuple[float, float, float] | None = None,
     pii_scrub: bool = False,
 ) -> DataFrame:
@@ -151,6 +181,9 @@ def run_pipeline(
 
     * host_blocklist: one-column ``host`` dim; rows whose url host is a
       blocked host or a subdomain of one are dropped before S1.
+    * host_ranks + min_rank_scaled (+ keep_unranked): link-authority
+      gate — drop rows from hosts whose ops.linkgraph.pagerank
+      rank_scaled falls below the floor.
     * repetition_thresholds: (dup_line, dup_char, top_bigram) maxima —
       e.g. GOPHER_REPETITION_THRESHOLDS — applied to extracted text.
     * pii_scrub: redact email/IPv4/phone in ``text`` before mentions.
@@ -162,6 +195,9 @@ def run_pipeline(
         charset_aware=charset_aware,
         legacy_charsets=legacy_charsets,
         host_blocklist=host_blocklist,
+        host_ranks=host_ranks,
+        min_rank_scaled=min_rank_scaled,
+        keep_unranked=keep_unranked,
         repetition_thresholds=repetition_thresholds,
         pii_scrub=pii_scrub,
     )

@@ -517,3 +517,54 @@ def test_streaming_corpus_dedup_drop_box(spark, tmp_path):
 
     # catch-up rerun with nothing new: byte-stable
     assert run() == got2
+
+
+def test_prepare_docs_host_authority_gate(spark):
+    """Round 6: the PageRank-fed authority gate — low-rank hosts drop,
+    unranked hosts pass by default, strict mode allowlists."""
+    from esmarc_spark.pipeline.run import prepare_docs
+
+    web = _curation_webtext(spark, n_docs=300)
+    i = F.regexp_extract("url", r"([0-9]+)$", 1).cast("int")
+    web = web.withColumn(
+        "url",
+        F.when(i % 3 == 1, F.regexp_replace("url", r"^https://[^/]+", "https://low.example"))
+        .when(i % 3 == 2, F.regexp_replace("url", r"^https://[^/]+", "https://high.example"))
+        .otherwise(F.col("url")),  # i%3==0 host stays unranked
+    )
+    ranks = spark.createDataFrame(
+        [("low.example", 40), ("high.example", 9000)],
+        "host string, rank_scaled long",
+    )
+    kept = prepare_docs(web, host_ranks=ranks, min_rank_scaled=100)
+    hosts = {u.split("/")[2] for u in (r.url for r in kept.select("url").collect())}
+    assert "low.example" not in hosts and "high.example" in hosts
+    assert any(h not in ("low.example", "high.example") for h in hosts)  # unranked pass
+
+    strict = prepare_docs(
+        web, host_ranks=ranks, min_rank_scaled=100, keep_unranked=False
+    )
+    shosts = {u.split("/")[2] for u in (r.url for r in strict.select("url").collect())}
+    assert shosts == {"high.example"}
+
+
+def test_run_pipeline_host_authority_end_to_end(spark):
+    """run_pipeline forwards the authority gate: no triples from
+    below-floor hosts, unranked subjects still emit."""
+    from esmarc_spark.pipeline.run import run_pipeline
+
+    web = synth_webtext(spark, n_docs=400, partitions=2, dup_fraction=0)
+    i = F.regexp_extract("url", r"([0-9]+)$", 1).cast("int")
+    web = web.withColumn(
+        "url",
+        F.when(i % 2 == 0, F.regexp_replace("url", r"^https://[^/]+", "https://low.example"))
+        .otherwise(F.col("url")),
+    )
+    ranks = spark.createDataFrame(
+        [("low.example", 5)], "host string, rank_scaled long"
+    )
+    triples = run_pipeline(
+        web, gazetteer_df(spark), host_ranks=ranks, min_rank_scaled=100
+    )
+    subs = [r.subj for r in triples.select("subj").distinct().collect()]
+    assert subs and not any("low.example" in s for s in subs)
