@@ -430,6 +430,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "host", "token"
         )
 
+    def token_shards(spark, sf):
+        # sequential token-budget shard assignment via the two-level
+        # distributed prefix sum; oracle states the semantics directly
+        # as ONE windowed cumsum (sequential is fine for the oracle —
+        # the Spark side must match it without a global sort)
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.packing import assign_token_shards
+        from esmarc_spark.ops.text import token_count
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", token_count("text").alias("n_tokens")
+        )
+        return assign_token_shards(docs, budget=4096, bucket=512).orderBy(
+            "doc_id"
+        )
+
     def dedup_lines(spark, sf):
         # corpus-level line dedup (RefinedWeb-style): a shared nav line
         # and per-residue footers injected across docs must be stripped
@@ -1072,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_pairs": decontaminate_pairs,
         "decontaminate_exact_ngrams": decontaminate_exact_ngrams,
         "dedup_lines": dedup_lines,
+        "token_shards": token_shards,
         "anchor_gazetteer": anchor_gazetteer,
         "host_blocklist": host_blocklist,
         "chunk_windows": chunk_windows,
@@ -1256,6 +1274,13 @@ GROUP BY lang_guess ORDER BY lang_guess
             0.5,
         )
         + " ORDER BY doc_id, bench_id",
+        "token_shards": __import__(
+            "esmarc_spark.ops.packing", fromlist=["assign_token_shards_sql"]
+        ).assign_token_shards_sql(
+            f"SELECT doc_id, cast({__import__('esmarc_spark.ops.text', fromlist=['TOKEN_COUNT_SQL']).TOKEN_COUNT_SQL} AS bigint) AS n_tokens FROM documents",
+            4096,
+        )
+        + " ORDER BY doc_id",
         "anchor_gazetteer": __import__(
             "esmarc_spark.ops.linkgraph", fromlist=["harvest_anchor_texts_sql"]
         ).harvest_anchor_texts_sql(
