@@ -4,8 +4,8 @@ boilerplate structure and record wall + removal profile at two sizes.
 
 Corpus model (deterministic, hash-derived):
   * every doc: 1 global nav line (shared by ALL docs — the worst-case
-    hot key), 1 per-template footer (n_templates templates), 8 unique
-    body lines, and 1 semi-shared line repeated across ~0.1% of docs;
+    hot key), 1 per-template footer (500 templates), 8 unique body
+    lines, and 1 per-doc-unique banner line (survivor control);
   * so the frequency relation has one degenerate key (the nav line,
     n_docs occurrences), a mid tier, and a long unique tail — the
     shape that punishes a design whose count shuffle carries strings
