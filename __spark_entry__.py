@@ -430,6 +430,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "host", "token"
         )
 
+    def web_curation_pipeline(spark, sf):
+        # round-6 capstone COMPOSITION: build the host link graph from
+        # synthesized pages, PageRank it, drop low-authority hosts,
+        # strip corpus-frequent lines from the survivors, and cut the
+        # result into token-budget shards — one chain, replayed cell
+        # for cell by the DuckDB oracle (each stage's SQL generator is
+        # fed the previous stage's SQL)
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.line_dedup import remove_duplicate_lines
+        from esmarc_spark.ops.linkgraph import extract_outlinks, pagerank
+        from esmarc_spark.ops.packing import assign_token_shards
+        from esmarc_spark.ops.text import token_count
+        from esmarc_spark.ops.urlnorm import host_of
+
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://h"), F.pmod(d, F.lit(97)).cast("string"),
+            F.lit(".example/p/"), d.cast("string"),
+        )
+        html = F.concat(
+            F.lit('<a href="https://h'),
+            F.pmod(d * 13 + 7, F.lit(97)).cast("string"),
+            F.lit('.example/x">a</a><a href="https://h'),
+            F.pmod(d * 29 + 3, F.lit(61)).cast("string"),
+            F.lit('.example/y">b</a>'),
+        )
+        mtext = F.concat_ws(
+            "\n",
+            F.lit("SHARED NAV BAR"),
+            F.col("text"),
+            F.concat(F.lit("footer "), F.pmod(d, F.lit(13)).cast("string")),
+        )
+        pages = _t(spark, sf, "documents").select(
+            "doc_id", url.alias("url"), html.alias("html"), mtext.alias("text")
+        )
+        ranks = pagerank(extract_outlinks(pages), 5)
+        low = ranks.where(F.col("rank_scaled") < 10_000_000_000).select(
+            F.col("host").alias("__h")
+        )
+        gated = (
+            pages.withColumn("__h", host_of(F.col("url")))
+            .join(low, "__h", "anti")
+            .select("doc_id", "text")
+        )
+        cleaned = remove_duplicate_lines(gated, min_docs=2)
+        shards = assign_token_shards(
+            cleaned.select("doc_id", token_count("text").alias("n_tokens")),
+            budget=4096,
+            bucket=512,
+        )
+        return (
+            shards.join(cleaned.select("doc_id", "kept_lines"), "doc_id")
+            .select("doc_id", "kept_lines", "n_tokens", "tokens_before", "shard")
+            .orderBy("doc_id")
+        )
+
     def token_shards(spark, sf):
         # sequential token-budget shard assignment via the two-level
         # distributed prefix sum; oracle states the semantics directly
@@ -1090,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_exact_ngrams": decontaminate_exact_ngrams,
         "dedup_lines": dedup_lines,
         "token_shards": token_shards,
+        "web_curation_pipeline": web_curation_pipeline,
         "anchor_gazetteer": anchor_gazetteer,
         "host_blocklist": host_blocklist,
         "chunk_windows": chunk_windows,
@@ -1274,6 +1332,44 @@ GROUP BY lang_guess ORDER BY lang_guess
             0.5,
         )
         + " ORDER BY doc_id, bench_id",
+        "web_curation_pipeline": (lambda _lg=__import__(
+            "esmarc_spark.ops.linkgraph",
+            fromlist=["pagerank_sql", "outlinks_sql"],
+        ), _ld=__import__(
+            "esmarc_spark.ops.line_dedup",
+            fromlist=["remove_duplicate_lines_sql"],
+        ), _pk=__import__(
+            "esmarc_spark.ops.packing", fromlist=["assign_token_shards_sql"]
+        ), _tx=__import__(
+            "esmarc_spark.ops.text", fromlist=["TOKEN_COUNT_SQL"]
+        ): (lambda pages_sql: (lambda cleaned_sql: (
+            "SELECT s.doc_id, l.kept_lines, s.n_tokens, s.tokens_before, s.shard "
+            "FROM ("
+            + _pk.assign_token_shards_sql(
+                "SELECT doc_id, cast(" + _tx.TOKEN_COUNT_SQL
+                + " AS bigint) AS n_tokens FROM (" + cleaned_sql + ")",
+                4096,
+            )
+            + ") s JOIN (" + cleaned_sql + ") l ON s.doc_id = l.doc_id "
+            "ORDER BY s.doc_id"
+        ))(_ld.remove_duplicate_lines_sql(
+            "SELECT d.doc_id, d.text FROM (" + pages_sql + ") d "
+            "WHERE lower(regexp_extract(d.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) NOT IN ("
+            "SELECT host FROM (" + _lg.pagerank_sql(_lg.outlinks_sql(pages_sql), 5)
+            + ") WHERE rank_scaled < 10000000000)",
+            2,
+        )))(
+            """SELECT doc_id,
+                 'https://h' || CAST(doc_id % 97 AS VARCHAR)
+                 || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<a href="https://h' || CAST((doc_id * 13 + 7) % 97 AS VARCHAR)
+                 || '.example/x">a</a><a href="https://h'
+                 || CAST((doc_id * 29 + 3) % 61 AS VARCHAR)
+                 || '.example/y">b</a>' AS html,
+                 'SHARED NAV BAR' || chr(10) || text || chr(10)
+                 || 'footer ' || CAST(doc_id % 13 AS VARCHAR) AS text
+               FROM documents"""
+        ))(),
         "token_shards": __import__(
             "esmarc_spark.ops.packing", fromlist=["assign_token_shards_sql"]
         ).assign_token_shards_sql(
