@@ -56,13 +56,24 @@ def duplicate_line_keys(
 
 
 def remove_duplicate_lines(
-    documents: DataFrame, min_docs: int = 2, text_col: str = "text"
+    documents: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, text, kept_lines): every document with its
+    """(id_col, text, kept_lines): every document with its
     corpus-frequent lines removed (order of surviving lines preserved;
     empty lines dropped). Documents reduced to nothing keep a row with
     text='' and kept_lines=0 — downstream length gates decide their
-    fate, not this operator."""
+    fate, not this operator. ``id_col`` must be row-unique (duplicate
+    ids would merge their documents' lines into one garbled text)."""
+    if id_col != "doc_id":
+        out = remove_duplicate_lines(
+            documents.select(F.col(id_col).alias("doc_id"), text_col),
+            min_docs,
+            text_col,
+        )
+        return out.select(F.col("doc_id").alias(id_col), "text", "kept_lines")
     keys = duplicate_line_keys(documents, min_docs, text_col).select("lk")
     lines = documents.select(
         "doc_id",

@@ -45,6 +45,7 @@ def prepare_docs(
     host_ranks: DataFrame | None = None,
     min_rank_scaled: int = 0,
     keep_unranked: bool = True,
+    dedup_lines_min_docs: int | None = None,
     repetition_thresholds: tuple[float, float, float] | None = None,
     pii_scrub: bool = False,
     url_dedup: bool = True,
@@ -67,6 +68,13 @@ def prepare_docs(
     3. legacy-charset decode + S1 extraction (+ per-url dedup unless
        ``url_dedup=False`` — the streaming path defers cross-batch url
        dedup to the downstream idempotent sink);
+    3b. cross-doc line dedup — when ``dedup_lines_min_docs`` is set,
+       strip lines occurring in >= that many documents of THIS input
+       (ops.line_dedup). Requires ``url_dedup`` (the row key must be
+       unique) — the streaming runner's per-batch path therefore does
+       not accept it; corpus-level line state across batches belongs to
+       a batch backfill, not a micro-batch. Runs BEFORE the repetition
+       gate so the gate judges real content, not shared boilerplate;
     4. repetition gate — row-local Gopher dup-line/char/top-bigram
        fractions vs ``repetition_thresholds`` (see
        GOPHER_REPETITION_THRESHOLDS);
@@ -113,6 +121,21 @@ def prepare_docs(
     )
     if url_dedup:
         docs = dedup_by_url(docs)
+    if dedup_lines_min_docs is not None:
+        if not url_dedup:
+            raise ValueError(
+                "dedup_lines_min_docs needs unique row keys: enable "
+                "url_dedup (the streaming per-batch path does not "
+                "support corpus-level line dedup)"
+            )
+        from esmarc_spark.ops.line_dedup import remove_duplicate_lines
+
+        cleaned = remove_duplicate_lines(
+            docs.select("url", "text"), dedup_lines_min_docs, id_col="url"
+        )
+        docs = docs.drop("text").join(
+            cleaned.select("url", "text"), "url"
+        )
     if repetition_thresholds is not None:
         from esmarc_spark.ops.text import (
             duplicate_line_char_fraction,
@@ -148,6 +171,7 @@ def run_pipeline(
     host_ranks: DataFrame | None = None,
     min_rank_scaled: int = 0,
     keep_unranked: bool = True,
+    dedup_lines_min_docs: int | None = None,
     repetition_thresholds: tuple[float, float, float] | None = None,
     pii_scrub: bool = False,
 ) -> DataFrame:
@@ -198,6 +222,7 @@ def run_pipeline(
         host_ranks=host_ranks,
         min_rank_scaled=min_rank_scaled,
         keep_unranked=keep_unranked,
+        dedup_lines_min_docs=dedup_lines_min_docs,
         repetition_thresholds=repetition_thresholds,
         pii_scrub=pii_scrub,
     )

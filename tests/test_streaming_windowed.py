@@ -568,3 +568,23 @@ def test_run_pipeline_host_authority_end_to_end(spark):
     )
     subs = [r.subj for r in triples.select("subj").distinct().collect()]
     assert subs and not any("low.example" in s for s in subs)
+
+
+def test_prepare_docs_line_dedup_gate(spark):
+    """dedup_lines_min_docs strips corpus-frequent lines from extracted
+    text; refused on the non-url-deduped (streaming per-batch) path."""
+    import pytest as _pytest
+
+    from esmarc_spark.pipeline.run import prepare_docs
+
+    web = synth_webtext(spark, n_docs=200, partitions=2, dup_fraction=0)
+    web = web.withColumn(
+        "text", F.concat(F.lit("SHARED BANNER LINE\n"), F.col("text"))
+    )
+    plain = prepare_docs(web)
+    gated = prepare_docs(web, dedup_lines_min_docs=2)
+    assert plain.where(F.col("text").contains("SHARED BANNER LINE")).count() > 0
+    assert gated.where(F.col("text").contains("SHARED BANNER LINE")).count() == 0
+    assert gated.count() == plain.count()  # rows kept, lines stripped
+    with _pytest.raises(ValueError):
+        prepare_docs(web, dedup_lines_min_docs=2, url_dedup=False)
