@@ -75,6 +75,12 @@ def remove_duplicate_lines(
         )
         return out.select(F.col("doc_id").alias(id_col), "text", "kept_lines")
     keys = duplicate_line_keys(documents, min_docs, text_col).select("lk")
+    return _strip_lines(documents, keys, text_col)
+
+
+def _strip_lines(documents: DataFrame, keys: DataFrame, text_col: str) -> DataFrame:
+    """Remove every line whose hash is in ``keys`` (one ``lk`` column)
+    from doc_id-keyed ``documents``; rebuild order-preserved text."""
     lines = documents.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -133,3 +139,84 @@ SELECT d.doc_id,
        COALESCE(r._kept, 0) AS kept_lines
 FROM _docs d LEFT JOIN _rebuilt r ON d.doc_id = r.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental line dedup across dumps (round 6)
+# ---------------------------------------------------------------------------
+#
+# The same accumulated-state move as ops/dedup_incremental: a daily
+# crawl must strip boilerplate against the WHOLE history's line
+# frequencies without recounting the history. State is a per-dump
+# (lk, n_docs) parquet directory plus an atomic _STATE manifest through
+# pipeline/fsio (counts commit first, marker last — a crash between the
+# two leaves the previous manifest intact and the orphan counts dir is
+# overwritten deterministically on retry).
+#
+# Contract (matches dedup_incremental's): HISTORICAL documents are
+# immutable — they were emitted when their dump was cleaned. The new
+# dump is cleaned against history + itself, which provably equals the
+# from-scratch cleaning of that dump's documents over the cumulative
+# corpus (the frequency of a line is a sum over dumps either way;
+# tested in tests/test_line_dedup.py).
+
+import json as _json
+
+from pyspark.sql import SparkSession
+
+from esmarc_spark.pipeline import fsio
+
+
+class LineFreqState:
+    """Persisted per-dump line-frequency index."""
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def manifest(self) -> dict:
+        raw = fsio.read_text(fsio.join(self.root, "_STATE"))
+        if raw is None:
+            return {"dumps": []}
+        return _json.loads(raw)
+
+    def counts(self, spark: SparkSession) -> DataFrame | None:
+        dumps = self.manifest()["dumps"]
+        if not dumps:
+            return None
+        return spark.read.parquet(
+            *[fsio.join(self.root, "counts", f"dump={d}") for d in dumps]
+        )
+
+    def _publish(self, dumps: list[str]) -> None:
+        fsio.write_text_atomic(
+            fsio.join(self.root, "_STATE"), _json.dumps({"dumps": dumps})
+        )
+
+
+def dedup_lines_incremental_dump(
+    spark: SparkSession,
+    documents: DataFrame,
+    state_root: str,
+    dump_id: str,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Clean a NEW dump against the accumulated line-frequency index
+    (history + this dump), committing this dump's counts. Returns the
+    cleaned (doc_id, text, kept_lines) for the new dump only. Replaying
+    an already-committed dump_id recomputes the same result without
+    recommitting (idempotent)."""
+    st = LineFreqState(state_root)
+    if dump_id not in st.manifest()["dumps"]:
+        duplicate_line_keys(documents, min_docs=1, text_col=text_col).write.mode(
+            "overwrite"
+        ).parquet(fsio.join(st.root, "counts", f"dump={dump_id}"))
+        st._publish(st.manifest()["dumps"] + [dump_id])
+    merged = st.counts(spark)
+    frequent = (
+        merged.groupBy("lk")
+        .agg(F.sum("n_docs").alias("n"))
+        .where(F.col("n") >= min_docs)
+        .select("lk")
+    )
+    return _strip_lines(documents, frequent, text_col)
