@@ -604,6 +604,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id", "text")
         ).orderBy("doc_id")
 
+    def lm_perplexity(spark, sf):
+        # CCNet-style hashed bigram LM perplexity (vendored
+        # deterministic counts, Jelinek-Mercer interpolation, pure-JVM
+        # portable-md5 hashing + ordered fold). Oracle replays the
+        # identical hashing/interpolation/rounding ladder in DuckDB.
+        from esmarc_spark.ops.lm import lm_perplexity as lmp
+
+        return lmp(
+            _t(spark, sf, "documents").select("doc_id", "text")
+        ).orderBy("doc_id")
+
     def host_pagerank(spark, sf):
         # host link-graph + deterministic scaled-integer PageRank: pages
         # and hrefs synthesized from doc_id (hub residues, dangling
@@ -1153,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": chunk_windows,
         "token_counts_bpe": token_counts_bpe,
         "quality_model_scores": quality_model_scores,
+        "lm_perplexity": lm_perplexity,
         "host_pagerank": host_pagerank,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1450,6 +1462,10 @@ GROUP BY lang_guess ORDER BY lang_guess
         "quality_model_scores": __import__(
             "esmarc_spark.ops.quality_model", fromlist=["quality_model_sql"]
         ).quality_model_sql("SELECT doc_id, text FROM documents")
+        + " ORDER BY doc_id",
+        "lm_perplexity": __import__(
+            "esmarc_spark.ops.lm", fromlist=["lm_perplexity_sql"]
+        ).lm_perplexity_sql("SELECT doc_id, text FROM documents")
         + " ORDER BY doc_id",
         "dedup_survivors": dedup.dedup_survivors_sql(0.5),
         # the incremental path is graded against the IDENTICAL from-scratch
