@@ -38,6 +38,14 @@ def _ensure_shipped(spark: SparkSession) -> None:
         pass  # already added under the same content hash
 
 
+# fixed retrieval workload for the bm25_search query/oracle pair
+_BM25_QUERIES = [
+    ("q1", "table scan merge"),
+    ("q2", "window hash join"),
+    ("q3", "customer vector spark"),
+]
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -615,6 +623,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id", "text")
         ).orderBy("doc_id")
 
+    def bm25_search(spark, sf):
+        # BM25 lexical retrieval: broadcast query terms filter the
+        # token explode BEFORE the only wide shuffle; corpus stats via
+        # a broadcast single-row agg; decimal-exact score sums so the
+        # DuckDB oracle replays bit-identical ranking.
+        from esmarc_spark.ops.bm25 import bm25_topk
+
+        return bm25_topk(
+            _t(spark, sf, "documents").select("doc_id", "text"),
+            _BM25_QUERIES,
+            k=8,
+        )
+
     def host_pagerank(spark, sf):
         # host link-graph + deterministic scaled-integer PageRank: pages
         # and hrefs synthesized from doc_id (hub residues, dangling
@@ -1165,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": token_counts_bpe,
         "quality_model_scores": quality_model_scores,
         "lm_perplexity": lm_perplexity,
+        "bm25_search": bm25_search,
         "host_pagerank": host_pagerank,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1467,6 +1489,11 @@ GROUP BY lang_guess ORDER BY lang_guess
             "esmarc_spark.ops.lm", fromlist=["lm_perplexity_sql"]
         ).lm_perplexity_sql("SELECT doc_id, text FROM documents")
         + " ORDER BY doc_id",
+        "bm25_search": __import__(
+            "esmarc_spark.ops.bm25", fromlist=["bm25_topk_sql"]
+        ).bm25_topk_sql(
+            "SELECT doc_id, text FROM documents", _BM25_QUERIES, k=8
+        ),
         "dedup_survivors": dedup.dedup_survivors_sql(0.5),
         # the incremental path is graded against the IDENTICAL from-scratch
         # oracle — the equality is the contract (VERDICT r5 #2)
