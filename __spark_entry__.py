@@ -537,6 +537,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def dedup_spans(spark, sf):
+        # ExactSubstr-style duplicated-span removal (Lee et al. 2022 at
+        # fixed 13-gram granularity): corpus-duplicated token runs are
+        # cut from EVERY occurrence (including within-doc repeats);
+        # unique docs pass byte-identical. Oracle replays the identical
+        # hashed-shingle construction via unnest + GROUP BY.
+        from esmarc_spark.ops.span_dedup import remove_duplicate_spans
+
+        return (
+            remove_duplicate_spans(
+                _t(spark, sf, "documents").select("doc_id", "text"), k=13
+            )
+            .select("doc_id", "clean_text", "n_removed_tokens")
+            .orderBy("doc_id")
+        )
+
     def decontaminate_exact_ngrams(spark, sf):
         # the exact-overlap decontamination flavor (13-gram verbatim
         # quotation), complementing decontaminate_pairs' Jaccard flavor;
@@ -1178,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_pairs": decontaminate_pairs,
         "decontaminate_exact_ngrams": decontaminate_exact_ngrams,
         "dedup_lines": dedup_lines,
+        "dedup_spans": dedup_spans,
         "token_shards": token_shards,
         "web_curation_pipeline": web_curation_pipeline,
         "anchor_gazetteer": anchor_gazetteer,
@@ -1435,6 +1452,11 @@ GROUP BY lang_guess ORDER BY lang_guess
             2,
         )
         + ") ORDER BY doc_id",
+        "dedup_spans": __import__(
+            "esmarc_spark.ops.span_dedup",
+            fromlist=["remove_duplicate_spans_sql"],
+        ).remove_duplicate_spans_sql("SELECT doc_id, text FROM documents", 13)
+        + " ORDER BY doc_id",
         "decontaminate_exact_ngrams": __import__(
             "esmarc_spark.ops.decontaminate", fromlist=["exact_ngram_sql"]
         ).exact_ngram_sql(
