@@ -537,6 +537,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def semdedup_prune(spark, sf):
+        # SemDeDup (Abbas et al. 2023): IVF-assign embeddings to
+        # deterministic clusters, drop every vector whose lower-id
+        # cluster-mate sits within the cosine threshold. Oracle replays
+        # the identical seed rule, rounded-cosine argmax, and pruning.
+        from esmarc_spark.ops.semdedup import semdedup
+
+        return semdedup(
+            _t(spark, sf, "embeddings"), n_clusters=8, threshold=0.35
+        ).orderBy("vec_id")
+
     def dedup_spans(spark, sf):
         # ExactSubstr-style duplicated-span removal (Lee et al. 2022 at
         # fixed 13-gram granularity): corpus-duplicated token runs are
@@ -1195,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_exact_ngrams": decontaminate_exact_ngrams,
         "dedup_lines": dedup_lines,
         "dedup_spans": dedup_spans,
+        "semdedup_prune": semdedup_prune,
         "token_shards": token_shards,
         "web_curation_pipeline": web_curation_pipeline,
         "anchor_gazetteer": anchor_gazetteer,
@@ -1452,6 +1464,10 @@ GROUP BY lang_guess ORDER BY lang_guess
             2,
         )
         + ") ORDER BY doc_id",
+        "semdedup_prune": __import__(
+            "esmarc_spark.ops.semdedup", fromlist=["semdedup_sql"]
+        ).semdedup_sql(8, 0.35)
+        + " ORDER BY vec_id",
         "dedup_spans": __import__(
             "esmarc_spark.ops.span_dedup",
             fromlist=["remove_duplicate_spans_sql"],
