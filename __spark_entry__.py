@@ -537,6 +537,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def dsir_sample(spark, sf):
+        # DSIR (Xie et al. 2023): hashed-unigram importance ratio of
+        # the vendored target model vs a raw model estimated from the
+        # corpus itself, Gumbel-top-m resampled with deterministic
+        # text-hash noise. Oracle re-estimates the raw model with GROUP
+        # BY and replays the identical rounding ladder.
+        from esmarc_spark.ops.dsir import dsir_sample as ds
+
+        return ds(_t(spark, sf, "documents").select("doc_id", "text"), m=50)
+
     def semdedup_prune(spark, sf):
         # SemDeDup (Abbas et al. 2023): IVF-assign embeddings to
         # deterministic clusters, drop every vector whose lower-id
@@ -1207,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": dedup_lines,
         "dedup_spans": dedup_spans,
         "semdedup_prune": semdedup_prune,
+        "dsir_sample": dsir_sample,
         "token_shards": token_shards,
         "web_curation_pipeline": web_curation_pipeline,
         "anchor_gazetteer": anchor_gazetteer,
@@ -1464,6 +1475,9 @@ GROUP BY lang_guess ORDER BY lang_guess
             2,
         )
         + ") ORDER BY doc_id",
+        "dsir_sample": __import__(
+            "esmarc_spark.ops.dsir", fromlist=["dsir_sample_sql"]
+        ).dsir_sample_sql("SELECT doc_id, text FROM documents", 50),
         "semdedup_prune": __import__(
             "esmarc_spark.ops.semdedup", fromlist=["semdedup_sql"]
         ).semdedup_sql(8, 0.35)
