@@ -537,6 +537,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def badwords_gate(spark, sf):
+        # C4-style blocklist gate: deterministic bad-word injection on a
+        # doc_id residue, word-boundary regexp_count, any hit drops the
+        # page. Oracle runs the IDENTICAL RE2-safe pattern.
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.badwords import badword_stats
+
+        docs = _t(spark, sf, "documents")
+        t2 = F.when(
+            F.pmod("doc_id", F.lit(17)) == 0,
+            F.concat(F.col("text"), F.lit(" win the casino jackpot")),
+        ).otherwise(F.col("text"))
+        return (
+            badword_stats(docs.select("doc_id", t2.alias("text")))
+            .select("doc_id", "badword_count", "keep")
+            .orderBy("doc_id")
+        )
+
+    def host_quality_rollup(spark, sf):
+        # per-host quality rollup + verdict (RefinedWeb-style domain
+        # filter stage): exact-integer quality sums so the mean is
+        # bit-identical at any parallelism; source column is the host.
+        from esmarc_spark.ops.host_rollup import host_quality_rollup as hqr
+
+        return hqr(_t(spark, sf, "documents")).orderBy("host")
+
     def dsir_sample(spark, sf):
         # DSIR (Xie et al. 2023): hashed-unigram importance ratio of
         # the vendored target model vs a raw model estimated from the
@@ -1218,6 +1245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans,
         "semdedup_prune": semdedup_prune,
         "dsir_sample": dsir_sample,
+        "badwords_gate": badwords_gate,
+        "host_quality_rollup": host_quality_rollup,
         "token_shards": token_shards,
         "web_curation_pipeline": web_curation_pipeline,
         "anchor_gazetteer": anchor_gazetteer,
@@ -1475,6 +1504,19 @@ GROUP BY lang_guess ORDER BY lang_guess
             2,
         )
         + ") ORDER BY doc_id",
+        "badwords_gate": "SELECT doc_id, badword_count, keep FROM ("
+        + __import__(
+            "esmarc_spark.ops.badwords", fromlist=["badword_stats_sql"]
+        ).badword_stats_sql(
+            "SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text || "
+            "' win the casino jackpot' ELSE text END AS text FROM documents"
+        )
+        + ") ORDER BY doc_id",
+        "host_quality_rollup": __import__(
+            "esmarc_spark.ops.host_rollup",
+            fromlist=["host_quality_rollup_sql"],
+        ).host_quality_rollup_sql("SELECT source, text FROM documents")
+        + " ORDER BY host",
         "dsir_sample": __import__(
             "esmarc_spark.ops.dsir", fromlist=["dsir_sample_sql"]
         ).dsir_sample_sql("SELECT doc_id, text FROM documents", 50),

@@ -1,0 +1,98 @@
+"""Host/source-level quality rollup and gating.
+
+Web curation decides at TWO granularities: per-document gates
+(``ops.text``, ``ops.quality_model``, ``ops.badwords``) and per-host
+policy — a domain whose pages are on average junk gets dropped
+wholesale even though individual pages squeak past the gates
+(RefinedWeb and FineWeb both carry a domain-level filter stage; the
+reference's analogue is the ISIL/branch-level filters that drop whole
+institutions, mapping/nodes.py DE-14 offers). This operator aggregates
+a per-document quality signal to the host and produces a keep/drop
+verdict per host plus a gated document stream.
+
+Cross-engine float parity: the per-doc quality score (already rounded
+to 6 by ``ops.text.quality_score``) is scaled to an exact integer
+(x1e6, bigint) BEFORE the distributed sum, so the aggregation is exact
+integer math in any partitioning; the mean divides once at the
+boundary and rounds (the repo's decimal-sums-then-round recipe).
+
+Scale shape: one partial-aggregated groupBy on the host key (Zipf host
+skew is absorbed map-side exactly as in ``ops.linkgraph`` — measured
+in BENCH/pagerank.json), then a broadcast-sized verdict relation joins
+the documents back. At 100 TB the rollup relation is ~10^7 hosts — if
+it outgrows broadcast, the join key is still the uniform host hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from esmarc_spark.ops.text import QUALITY_SCORE_SQL, quality_score
+
+
+def host_quality_rollup(
+    documents: DataFrame,
+    host_col: str = "source",
+    text: str = "text",
+    min_mean_quality: float = 0.6,
+) -> DataFrame:
+    """One row per host: ``n_docs``, ``mean_quality`` (exact-int sum,
+    rounded to 6 at the boundary), ``keep``."""
+    q6 = F.round(quality_score(text) * 1e6).cast("bigint")
+    return (
+        documents.select(F.col(host_col).alias("host"), q6.alias("_q6"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_q6").alias("_sq6"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            F.round(F.col("_sq6").cast("double") / F.col("n_docs") / 1e6, 6)
+            .alias("mean_quality"),
+        )
+        .withColumn("keep", F.col("mean_quality") >= min_mean_quality)
+    )
+
+
+def gate_hosts_by_quality(
+    documents: DataFrame,
+    host_col: str = "source",
+    text: str = "text",
+    min_mean_quality: float = 0.6,
+) -> DataFrame:
+    """Documents surviving the host verdict (inner join on kept hosts —
+    broadcastable at dim scale, uniform-hash equi-join beyond)."""
+    verdict = host_quality_rollup(
+        documents, host_col, text, min_mean_quality
+    ).where("keep").select(F.col("host").alias(host_col))
+    return documents.join(verdict, host_col)
+
+
+def host_quality_rollup_sql(
+    source_select: str,
+    host_col: str = "source",
+    min_mean_quality: float = 0.6,
+) -> str:
+    """DuckDB oracle: identical exact-integer aggregation (sum cast to
+    bigint first — DuckDB sums integers into HUGEINT)."""
+    return f"""
+WITH src AS ({source_select}),
+q AS (
+  SELECT {host_col} AS host,
+         cast(round({QUALITY_SCORE_SQL} * 1e6) AS bigint) AS q6
+  FROM src
+),
+r AS (
+  SELECT host, count(*) AS n_docs,
+         cast(sum(q6) AS bigint) AS sq6
+  FROM q GROUP BY host
+)
+SELECT host, n_docs,
+       round(cast(sq6 AS double) / n_docs / 1e6, 6) AS mean_quality,
+       round(cast(sq6 AS double) / n_docs / 1e6, 6) >= {min_mean_quality}
+         AS keep
+FROM r
+"""

@@ -1,0 +1,111 @@
+"""Bad-words gate + host-level quality rollup: semantics + oracle parity."""
+
+import duckdb
+import pytest
+
+from esmarc_spark.ops.badwords import (
+    badword_pattern,
+    badword_stats,
+    badword_stats_sql,
+)
+from esmarc_spark.ops.host_rollup import (
+    gate_hosts_by_quality,
+    host_quality_rollup,
+    host_quality_rollup_sql,
+)
+
+
+def test_badwords_word_boundary_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "win the JACKPOT now"),  # case-insensitive hit
+            (2, "the casino! opened"),  # punctuation boundary hit
+            (3, "cassino is a town in italy"),  # superstring: NOT a hit
+            (4, "clean text entirely"),
+            (5, None),
+            (6, "porn porn porn"),  # counted per occurrence
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.badword_count, r.keep)
+        for r in badword_stats(docs).collect()
+    }
+    assert got[1] == (1, False)
+    assert got[2] == (1, False)
+    assert got[3] == (0, True)
+    assert got[4] == (0, True)
+    assert got[5] == (0, True)
+    assert got[6] == (3, False)
+
+
+def test_badwords_pattern_rejects_regex_metachars():
+    with pytest.raises(ValueError):
+        badword_pattern(["a.b"])
+
+
+def test_badwords_oracle_parity(spark, tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "jackpot casino xxx"), (2, "fine text"), (3, None)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(p)
+    got = (
+        badword_stats(spark.read.parquet(p))
+        .select("doc_id", "badword_count", "keep")
+        .orderBy("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    want = con.sql(
+        "SELECT doc_id, badword_count, keep FROM ("
+        + badword_stats_sql("SELECT * FROM documents")
+        + ") ORDER BY doc_id"
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]
+
+
+def _hosted(spark):
+    rows = [
+        # host A: long diverse sentences with stopwords -> high quality
+        (i, "a", "the quick brown fox jumps over the lazy dog number "
+         + " ".join(f"t{i}x{j}" for j in range(10)))
+        for i in range(4)
+    ] + [
+        # host B: short low-diversity junk -> low quality
+        (10 + i, "b", "spam spam spam") for i in range(4)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_host_rollup_gates_low_quality_host(spark):
+    roll = {
+        r.host: (r.n_docs, r.keep)
+        for r in host_quality_rollup(_hosted(spark)).collect()
+    }
+    assert roll["a"] == (4, True)
+    assert roll["b"] == (4, False)
+    kept = gate_hosts_by_quality(_hosted(spark))
+    assert {r.source for r in kept.collect()} == {"a"}
+    assert kept.count() == 4
+
+
+def test_host_rollup_oracle_parity(spark, tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    _hosted(spark).write.mode("overwrite").parquet(p)
+    got = (
+        host_quality_rollup(spark.read.parquet(p))
+        .orderBy("host")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    want = con.sql(
+        host_quality_rollup_sql("SELECT * FROM documents") + " ORDER BY host"
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]
