@@ -46,7 +46,9 @@ def prepare_docs(
     min_rank_scaled: int = 0,
     keep_unranked: bool = True,
     dedup_lines_min_docs: int | None = None,
+    dedup_spans_k: int | None = None,
     repetition_thresholds: tuple[float, float, float] | None = None,
+    badword_list=None,
     pii_scrub: bool = False,
     url_dedup: bool = True,
 ) -> DataFrame:
@@ -75,9 +77,16 @@ def prepare_docs(
        not accept it; corpus-level line state across batches belongs to
        a batch backfill, not a micro-batch. Runs BEFORE the repetition
        gate so the gate judges real content, not shared boilerplate;
+    3c. duplicated-span removal — when ``dedup_spans_k`` is set, cut
+       every span duplicated corpus-wide at that k-gram granularity
+       (ops.span_dedup, ExactSubstr semantics). Same unique-row-key
+       requirement as 3b;
     4. repetition gate — row-local Gopher dup-line/char/top-bigram
        fractions vs ``repetition_thresholds`` (see
        GOPHER_REPETITION_THRESHOLDS);
+    4b. bad-words gate — ``badword_list`` (True for the vendored C4-style
+       default list, or an iterable of words): any word-boundary hit
+       drops the page (ops.badwords). Map-only;
     5. PII scrub — rewrites ``text`` in place. Runs AFTER the repetition
        gate (documented order: gating sees the original text, scrubbed
        placeholders can't shift the repetition stats).
@@ -136,6 +145,24 @@ def prepare_docs(
         docs = docs.drop("text").join(
             cleaned.select("url", "text"), "url"
         )
+    if dedup_spans_k is not None:
+        if not url_dedup:
+            raise ValueError(
+                "dedup_spans_k needs unique row keys: enable url_dedup "
+                "(corpus-level span state belongs to a batch backfill, "
+                "not a micro-batch)"
+            )
+        from esmarc_spark.ops.span_dedup import remove_duplicate_spans
+
+        cleaned = remove_duplicate_spans(
+            docs.select("url", "text"), k=dedup_spans_k, id_col="url"
+        )
+        docs = docs.drop("text").join(
+            cleaned.select(
+                "url", F.col("clean_text").alias("text")
+            ),
+            "url",
+        )
     if repetition_thresholds is not None:
         from esmarc_spark.ops.text import (
             duplicate_line_char_fraction,
@@ -148,6 +175,15 @@ def prepare_docs(
             (duplicate_line_fraction("text") <= max_line)
             & (duplicate_line_char_fraction("text") <= max_char)
             & (top_bigram_fraction("text") <= max_bigram)
+        )
+    if badword_list is not None:
+        from esmarc_spark.ops.badwords import badword_stats
+
+        words = None if badword_list is True else badword_list
+        docs = (
+            badword_stats(docs, words)
+            .where("keep")
+            .drop("badword_count", "keep")
         )
     if pii_scrub:
         from esmarc_spark.ops.pii import scrub_pii
@@ -172,7 +208,9 @@ def run_pipeline(
     min_rank_scaled: int = 0,
     keep_unranked: bool = True,
     dedup_lines_min_docs: int | None = None,
+    dedup_spans_k: int | None = None,
     repetition_thresholds: tuple[float, float, float] | None = None,
+    badword_list=None,
     pii_scrub: bool = False,
 ) -> DataFrame:
     """S1 extract -> dedup -> S2 mentions -> S3 link -> (S4 canonicalize)
@@ -223,7 +261,9 @@ def run_pipeline(
         min_rank_scaled=min_rank_scaled,
         keep_unranked=keep_unranked,
         dedup_lines_min_docs=dedup_lines_min_docs,
+        dedup_spans_k=dedup_spans_k,
         repetition_thresholds=repetition_thresholds,
+        badword_list=badword_list,
         pii_scrub=pii_scrub,
     )
     if mentions_mode == "ngram":

@@ -109,3 +109,43 @@ def test_host_rollup_oracle_parity(spark, tmp_path):
         host_quality_rollup_sql("SELECT * FROM documents") + " ORDER BY host"
     ).fetchall()
     assert [tuple(r) for r in got] == [tuple(w) for w in want]
+
+
+def test_prepare_docs_badwords_and_span_knobs(spark):
+    import datetime as dt
+
+    import pytest as _pt
+
+    from esmarc_spark.pipeline.run import prepare_docs
+
+    t0 = dt.datetime(2024, 5, 1)
+    span = " ".join(f"s{i}" for i in range(13))
+    rows = [
+        ("https://a.example/1", t0,
+         f"<p>unique alpha {span} tail-a</p>".encode(), None, "en"),
+        ("https://a.example/2", t0,
+         f"<p>unique beta {span} tail-b</p>".encode(), None, "en"),
+        ("https://a.example/3", t0,
+         b"<p>win the casino jackpot tonight</p>", None, "en"),
+        ("https://a.example/4", t0,
+         b"<p>perfectly clean page body</p>", None, "en"),
+    ]
+    wt = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    docs = {
+        r.url: r.text
+        for r in prepare_docs(
+            wt, dedup_spans_k=13, badword_list=True
+        ).collect()
+    }
+    assert "https://a.example/3" not in docs  # badword page dropped
+    assert "https://a.example/4" in docs
+    # the shared 13-token run is cut from both survivors
+    assert span not in docs["https://a.example/1"]
+    assert "unique alpha" in docs["https://a.example/1"]
+    assert span not in docs["https://a.example/2"]
+
+    with _pt.raises(ValueError):
+        prepare_docs(wt, dedup_spans_k=13, url_dedup=False)
