@@ -16,8 +16,10 @@ k-token granularity instead:
 
 * every k-token shingle (stride 1) is hashed with the repo's
   hashed-shingle construction (ONE md5 per token, polynomial combine —
-  ``ops.dedup._shingle_hashes``, the construction measured 12.7x faster
-  than hashing shingle strings);
+  the ``ops.dedup`` design measured 12.7x faster than hashing shingle
+  strings) widened to TWO independent 31-bit lanes (62-bit space):
+  unlike LSH candidates, a collision here deletes text outright, so
+  the space must survive web-scale shingle counts (see _span_hashes);
 * a global count over the int64 shingle hash finds hashes occurring
   ``>= min_count`` times corpus-wide (this includes a document repeating
   its own span — ExactSubstr semantics);
@@ -52,13 +54,69 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from esmarc_spark.ops.dedup import (
-    MINHASH_P,
-    SHINGLE_A,
-    _shingle_hashes,
-    _shingle_hashes_sql,
-    base_hash32,
-)
+from esmarc_spark.ops.dedup import MINHASH_P, SHINGLE_A
+
+
+def _span_hashes(toks: F.Column, k: int) -> F.Column:
+    """62-bit shingle hashes: two independent 31-bit rolling-hash lanes
+    from ONE md5 per token (hex chars 1-8 and 9-16), combined as
+    ``lane1 * 2^31 + lane2``.
+
+    The LSH machinery's 31-bit shingle space is fine THERE because a
+    collision only creates a candidate pair that Jaccard verification
+    rejects; here a collision directly deletes k tokens of innocent
+    text, so the space must be big enough that the corpus never
+    saturates it (observed at bench scale: 26M shingles in a 2^31
+    space produced measurable false removals; 2^62 puts the expected
+    false-pair count at ~1e-4 even for 10^12-shingle corpora)."""
+    md = F.transform(toks, F.md5)
+
+    # closure factories: pyspark HOF lambdas must not carry default args
+    # or loop-captured vars (each becomes an extra lambda variable)
+    def lane_fn(off):
+        return lambda m: F.conv(F.substring(m, off, 8), 16, 10).cast("long")
+
+    def comb_fn(th, mult):
+        def comb(i):
+            h = F.element_at(th, i)
+            for j in range(1, k):
+                h = (h * mult + F.element_at(th, (i + j).cast("int"))) % MINHASH_P
+            return h
+
+        return comb
+
+    lanes = []
+    for off, mult in ((1, SHINGLE_A), (9, SHINGLE_A + 2)):
+        th = F.transform(md, lane_fn(off))
+        n = F.size(th)
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        lanes.append(F.transform(idx, comb_fn(th, mult)))
+    return F.zip_with(
+        lanes[0], lanes[1], lambda a, b: a * F.lit(2**31) + b
+    )
+
+
+def _span_hashes_sql(k: int) -> str:
+    """DuckDB mirror of _span_hashes (expects ``toks``)."""
+    parts = []
+    for off, mult in ((1, SHINGLE_A), (9, SHINGLE_A + 2)):
+        th = (
+            f"list_transform(toks, x -> cast('0x' || substr(md5(x), {off}, 8)"
+            " AS bigint))"
+        )
+        expr = "th[i]"
+        for j in range(1, k):
+            expr = f"(({expr}) * {mult} + th[i+{j}]) % {MINHASH_P}"
+        parts.append(
+            f"(SELECT list_transform(range(1, len(th) - {k - 2}), i -> {expr})"
+            f" FROM (SELECT {th} AS th) __l{off})"
+        )
+    return (
+        f"list_transform(list_zip({parts[0]}, {parts[1]}),"
+        f" z -> z[1] * {2**31} + z[2])"
+    )
 
 
 def duplicated_span_seeds(
@@ -71,9 +129,9 @@ def duplicated_span_seeds(
     """(id, seed) rows: 1-based token positions where a corpus-duplicated
     k-shingle starts. ``min_count`` counts occurrences corpus-wide,
     including repeats inside one document."""
-    th = F.transform(F.split(F.col(text_col), " "), base_hash32)
+    toks = F.split(F.col(text_col), " ")
     pos = documents.select(
-        F.col(id_col), F.posexplode(_shingle_hashes(th, k)).alias("pos0", "sh")
+        F.col(id_col), F.posexplode(_span_hashes(toks, k)).alias("pos0", "sh")
     )
     dup_sh = (
         pos.groupBy("sh")
@@ -145,10 +203,7 @@ t AS (
   SELECT src.*, string_split({text_col}, ' ') AS toks FROM src
 ),
 h AS (
-  SELECT t.*, {_shingle_hashes_sql(k)} AS shs
-  FROM (SELECT t.*, list_transform(toks,
-          x -> cast('0x' || substr(md5(x), 1, 8) AS bigint)) AS th
-        FROM t) t
+  SELECT t.*, {_span_hashes_sql(k)} AS shs FROM t
 ),
 pos AS (
   SELECT {id_col}, unnest(shs) AS sh, generate_subscripts(shs, 1) AS i
