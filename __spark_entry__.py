@@ -45,6 +45,30 @@ _BM25_QUERIES = [
     ("q3", "customer vector spark"),
 ]
 
+# fix_mojibake fixture: the deterministic corrupt step both engines apply
+# before the repair chain (curly quotes incl. the WHATWG U+009D case,
+# em dash, ellipsis, n-tilde — built from escapes, never raw controls)
+_MOJIBAKE_SUFFIX = (
+    " â€œxâ€\x9d â€”"
+    " â€¦ Ã± end"
+)
+_MOJIBAKE_CORRUPT_SQL = (
+    "replace(replace(text, 'o', 'Ã¶'), 'e', 'Ã©')"
+)
+
+# shared link-graph page synthesis, oracle side (mirrors _lg_pages)
+_LG_PAGES_SQL = """SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
+     || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+     '<a href="https://h' || CAST((doc_id * 13 + 7) % 97 AS VARCHAR)
+     || '.example/x">a</a><a href="HTTPS://H'
+     || CAST((doc_id * 29 + 3) % 61 AS VARCHAR)
+     || '.EXAMPLE/y">b</a>'
+     || CASE WHEN doc_id % 11 = 0
+          THEN '<a href="https://sink' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example/z">c</a>'
+          ELSE '<a href="/relative/p">r</a>' END AS html
+   FROM documents"""
+
 
 # ---------------------------------------------------------------------------
 # flagship
@@ -700,14 +724,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=8,
         )
 
-    def host_pagerank(spark, sf):
-        # host link-graph + deterministic scaled-integer PageRank: pages
-        # and hrefs synthesized from doc_id (hub residues, dangling
-        # sinks, relative links that must drop); oracle unrolls the
-        # SAME integer fixpoint as CTEs
+    def _lg_pages(spark, sf):
+        # shared link-graph fixture: pages and hrefs synthesized from
+        # doc_id (hub residues, dangling sinks, relative links that must
+        # drop) — consumed by host_pagerank AND host_communities, whose
+        # oracles replay the identical synthesis (_LG_PAGES_SQL)
         from pyspark.sql import functions as F
-
-        from esmarc_spark.ops.linkgraph import host_pagerank as hpr
 
         d = F.col("doc_id")
         url = F.concat(
@@ -729,10 +751,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             ).otherwise(F.lit('<a href="/relative/p">r</a>')),
         )
-        pages = _t(spark, sf, "documents").select(
+        return _t(spark, sf, "documents").select(
             url.alias("url"), html.alias("html")
         )
-        return hpr(pages, iterations=5).orderBy("host")
+
+    def host_pagerank(spark, sf):
+        # host link-graph + deterministic scaled-integer PageRank;
+        # oracle unrolls the SAME integer fixpoint as CTEs
+        from esmarc_spark.ops.linkgraph import host_pagerank as hpr
+
+        return hpr(_lg_pages(spark, sf), iterations=5).orderBy("host")
+
+    def host_communities(spark, sf):
+        # synchronous min-tie-break label propagation over the same host
+        # graph: deterministic communities (link-ring / topical
+        # neighborhoods); oracle unrolls the identical rounds as CTEs
+        from esmarc_spark.ops.linkgraph import host_communities as hc
+
+        return hc(_lg_pages(spark, sf), iterations=4).orderBy("host")
+
+    def kg_disambiguated(spark, sf):
+        # context-scored entity disambiguation: ambiguous gazetteer
+        # surfaces resolved to ONE authority per mention position by
+        # same-entity-type document support, min-authority tie-break
+        return kg_documents.disambiguate_mentions(
+            _t(spark, sf, "documents")
+        ).orderBy("doc_id", "position")
+
+    def fix_mojibake(spark, sf):
+        # UTF-8-as-cp1252 mojibake repair: corpus deterministically
+        # corrupted in-query (both engines apply the identical corrupt
+        # step), then repaired by the shared ordered replace chain
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.mojibake import fix_mojibake as fixer
+
+        corrupted = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.expr(_MOJIBAKE_CORRUPT_SQL), F.lit(_MOJIBAKE_SUFFIX)
+            ).alias("text"),
+        )
+        return fixer(corrupted).select("doc_id", "n_repaired", "text").orderBy(
+            "doc_id"
+        )
 
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
@@ -1257,6 +1319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": lm_perplexity,
         "bm25_search": bm25_search,
         "host_pagerank": host_pagerank,
+        "host_communities": host_communities,
+        "kg_disambiguated": kg_disambiguated,
+        "fix_mojibake": fix_mojibake,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard": dedup_jaccard,
@@ -1540,19 +1605,20 @@ GROUP BY lang_guess ORDER BY lang_guess
         + " ORDER BY doc_id, bench_id",
         "host_pagerank": __import__(
             "esmarc_spark.ops.linkgraph", fromlist=["host_pagerank_sql"]
-        ).host_pagerank_sql(
-            """SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
-                 || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
-                 '<a href="https://h' || CAST((doc_id * 13 + 7) % 97 AS VARCHAR)
-                 || '.example/x">a</a><a href="HTTPS://H'
-                 || CAST((doc_id * 29 + 3) % 61 AS VARCHAR)
-                 || '.EXAMPLE/y">b</a>'
-                 || CASE WHEN doc_id % 11 = 0
-                      THEN '<a href="https://sink' || CAST(doc_id % 5 AS VARCHAR)
-                           || '.example/z">c</a>'
-                      ELSE '<a href="/relative/p">r</a>' END AS html
-               FROM documents""",
-            5,
+        ).host_pagerank_sql(_LG_PAGES_SQL, 5),
+        "host_communities": __import__(
+            "esmarc_spark.ops.linkgraph", fromlist=["host_communities_sql"]
+        ).host_communities_sql(_LG_PAGES_SQL, 4),
+        "kg_disambiguated": kg_documents.DOC_DISAMBIGUATED_SQL
+        + " ORDER BY doc_id, position",
+        "fix_mojibake": (
+            "SELECT doc_id, "
+            + __import__(
+                "esmarc_spark.ops.mojibake", fromlist=["fix_mojibake_sql"]
+            ).fix_mojibake_sql(
+                _MOJIBAKE_CORRUPT_SQL + " || '" + _MOJIBAKE_SUFFIX + "'"
+            )
+            + " FROM documents ORDER BY doc_id"
         ),
         "host_blocklist": __import__(
             "esmarc_spark.ops.urlnorm", fromlist=["host_blocklist_sql"]

@@ -221,3 +221,66 @@ FROM pairs a JOIN pairs b
   ON a.doc_id = b.doc_id AND a.authority_id < b.authority_id
 GROUP BY a.authority_id, b.authority_id
 """
+
+
+def disambiguate_mentions(documents: DataFrame) -> DataFrame:
+    """Context-based entity disambiguation: resolve every mention position
+    to exactly ONE authority.
+
+    The gazetteer join fans ambiguous surfaces out to several candidate
+    authorities (``scan`` -> topics/works above; the reference's analogue
+    is esmarc's multi-authority sameAs lists, esmarc.py getsameAs, which
+    it keeps unresolved — web-scale linking must pick one). Each candidate
+    is scored by document context: the number of OTHER distinct gazetteer
+    surfaces in the same document that share the candidate's entity_type
+    (the mention's own surface is subtracted — it votes for every one of
+    its candidate types equally, so it carries no signal). Winner per
+    (doc_id, position) = max score, ties broken by MIN authority_id — a
+    pure function of the input, so the DuckDB replay hash-matches.
+
+    Scale shape: the context profile is a (doc_id, entity_type) partial
+    aggregation (map-side combine; cardinality docs x 6 types); the winner
+    pick is a row_number window partitioned by (doc_id, position) —
+    millions of tiny groups, no skew concentration; the gazetteer side of
+    the underlying join is broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    m = doc_mentions(documents)
+    support = m.groupBy("doc_id", "entity_type").agg(
+        F.count_distinct("surface_form").alias("n_same_type")
+    )
+    w = Window.partitionBy("doc_id", "position").orderBy(
+        F.col("score").desc(), F.col("authority_id").asc()
+    )
+    return (
+        m.join(support, ["doc_id", "entity_type"])
+        .withColumn("score", (F.col("n_same_type") - F.lit(1)).cast("long"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id", "position", "surface_form", "entity_type",
+            "authority_id", "score",
+        )
+    )
+
+
+DOC_DISAMBIGUATED_SQL = f"""
+WITH m AS ({DOC_MENTIONS_SQL}),
+sup AS (
+  SELECT doc_id, entity_type,
+         COUNT(DISTINCT surface_form) AS n_same_type
+  FROM m GROUP BY doc_id, entity_type
+)
+SELECT doc_id, position, surface_form, entity_type, authority_id, score
+FROM (
+  SELECT m.doc_id, m.position, m.surface_form, m.entity_type,
+         m.authority_id,
+         CAST(sup.n_same_type - 1 AS BIGINT) AS score,
+         row_number() OVER (
+           PARTITION BY m.doc_id, m.position
+           ORDER BY CAST(sup.n_same_type - 1 AS BIGINT) DESC, m.authority_id ASC
+         ) AS rn
+  FROM m JOIN sup ON sup.doc_id = m.doc_id AND sup.entity_type = m.entity_type
+) WHERE rn = 1
+"""

@@ -266,6 +266,109 @@ def host_pagerank_sql(pages_sql: str, iterations: int = 5) -> str:
 
 
 # ---------------------------------------------------------------------------
+# label-propagation communities (round 6)
+# ---------------------------------------------------------------------------
+#
+# Host communities complement PageRank in curation: authority ranks
+# hosts globally, communities group them into topical/link-farm
+# neighborhoods (a link ring of spam hosts forms a dense community that
+# a per-host rank can miss; the reference's analogous grouping is its
+# sameAs-edge canonicalization, re-expressed here over the host graph).
+# Synchronous label propagation with a deterministic tie-break: every
+# round each node adopts the most frequent label among its neighbors,
+# ties broken by MIN label — a pure function of the input (no float,
+# no randomized visit order), so a DuckDB unrolled-CTE replay
+# hash-matches at any parallelism.
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """(host, community) from a (src, dst) edge relation, treated as
+    undirected. community is the propagated label (a host name).
+
+    Scale shape: the symmetrized neighbor relation is computed once,
+    pre-partitioned on the join key, and localCheckpointed — each round
+    only shuffles the node-sized label relation; vote counts partial-
+    aggregate map-side (Zipf hubs never concentrate pre-combine); the
+    winner pick is a row_number window over (host) whose groups are
+    bounded by a node's distinct neighbor-label count. Labels are
+    eagerly checkpointed per round (iterative-lineage rule measured in
+    BENCH/cc_skew.json).
+    """
+    from pyspark.sql.window import Window
+
+    sym = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (
+        sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("dst")
+        .localCheckpoint(eager=False)
+    )
+    # every node appears as src in the symmetrized relation
+    labels = (
+        und.select(F.col("src").alias("host"))
+        .distinct()
+        .select("host", F.col("host").alias("label"))
+    )
+    w = Window.partitionBy("host").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(iterations):
+        votes = (
+            und.join(labels.withColumnRenamed("host", "dst"), "dst")
+            .groupBy(F.col("src").alias("host"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("host", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("host", F.col("label").alias("community"))
+
+
+def host_communities(
+    pages: DataFrame,
+    iterations: int = 4,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """HTML pages -> host communities: compose extraction + propagation."""
+    return label_propagation(extract_outlinks(pages, url_col, html_col), iterations)
+
+
+def label_propagation_sql(edges_sql: str, iterations: int = 4) -> str:
+    """Iteration-unrolled CTE chain replaying the identical synchronous
+    min-tie-break label propagation."""
+    ctes = [
+        f"_e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)",
+        "_und AS (SELECT src, dst FROM _e UNION SELECT dst, src FROM _e)",
+        "_l0 AS (SELECT DISTINCT src AS host, src AS label FROM _und)",
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"""_l{k + 1} AS (
+  SELECT host, label FROM (
+    SELECT host, label,
+           row_number() OVER (PARTITION BY host ORDER BY c DESC, label ASC) AS rn
+    FROM (
+      SELECT u.src AS host, l.label, COUNT(*) AS c
+      FROM _und u JOIN _l{k} l ON l.host = u.dst
+      GROUP BY u.src, l.label
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT host, label AS community FROM _l{iterations} ORDER BY host"
+    )
+
+
+def host_communities_sql(pages_sql: str, iterations: int = 4) -> str:
+    return label_propagation_sql(outlinks_sql(pages_sql), iterations)
+
+
+# ---------------------------------------------------------------------------
 # anchor-text surface-form harvesting (round 6)
 # ---------------------------------------------------------------------------
 #

@@ -1,0 +1,210 @@
+"""Label-propagation communities, entity disambiguation, mojibake repair.
+
+Each new round-6 operator is verified against an INDEPENDENT pure-Python
+reference implementation plus its DuckDB oracle generator (the
+driver-gate mirror), following the pattern of test_linkgraph.py.
+"""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from esmarc_spark.ops.kg_documents import (
+    DOC_DISAMBIGUATED_SQL,
+    DOC_GAZETTEER,
+    disambiguate_mentions,
+)
+from esmarc_spark.ops.linkgraph import label_propagation, label_propagation_sql
+from esmarc_spark.ops.mojibake import (
+    fix_mojibake,
+    mojibake_table,
+    repair_expr_sql,
+)
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def _python_lpa(edges, iterations=4):
+    """Reference: plain dicts, synchronous rounds, min-label tie-break."""
+    sym = {(s, d) for s, d in edges if s != d}
+    und = sorted(sym | {(d, s) for s, d in sym})
+    nbrs = {}
+    for s, d in und:
+        nbrs.setdefault(s, []).append(d)
+    labels = {v: v for v in nbrs}
+    for _ in range(iterations):
+        new = {}
+        for v, ns in nbrs.items():
+            counts = {}
+            for u in ns:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            top = max(counts.values())
+            best = min(l for l, c in counts.items() if c == top)
+            new[v] = best
+        labels = new
+    return labels
+
+
+def _two_cliques_edges():
+    # two 4-cliques joined by one bridge edge + a pendant chain
+    edges = []
+    for grp, names in (("a", ["a1", "a2", "a3", "a4"]), ("b", ["b1", "b2", "b3", "b4"])):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((names[i], names[j]))
+    edges.append(("a4", "b1"))
+    edges.append(("b4", "c1"))
+    edges.append(("c1", "c2"))
+    return edges
+
+
+def test_lpa_matches_python_reference(spark):
+    edges = _two_cliques_edges()
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.host: r.community for r in label_propagation(df, 4).collect()}
+    assert got == _python_lpa(edges, 4)
+
+
+def test_lpa_cliques_converge_to_min_member(spark):
+    edges = _two_cliques_edges()
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.host: r.community for r in label_propagation(df, 4).collect()}
+    # inside each clique, every member adopts the clique's min label
+    assert {got[h] for h in ("a1", "a2", "a3")} == {"a1"}
+    assert {got[h] for h in ("b2", "b3")} == {"b1"}
+
+
+def test_lpa_oracle_parity(spark):
+    edges = _two_cliques_edges()
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(
+        (r.host, r.community) for r in label_propagation(df, 3).collect()
+    )
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    sql = label_propagation_sql(
+        f"SELECT * FROM (VALUES {vals}) AS e(src, dst)", 3
+    )
+    want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# disambiguation
+# ---------------------------------------------------------------------------
+
+
+def test_disambiguation_resolves_one_per_position(spark):
+    docs = spark.createDataFrame(
+        [
+            # 'scan' is ambiguous (topics 4600001-1 / works 3000003-9);
+            # 'table'+'vector' are works context -> works must win
+            (1, "scan table vector"),
+            # 'join'+'sort' are topics context -> topics must win
+            (2, "scan join sort"),
+            # no context beyond the mention itself -> tie, min authority wins
+            (3, "scan scan"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.position): (r.authority_id, r.score)
+        for r in disambiguate_mentions(docs).collect()
+    }
+    works = [a for s, t, a in DOC_GAZETTEER if s == "scan" and t == "works"][0]
+    topics = [a for s, t, a in DOC_GAZETTEER if s == "scan" and t == "topics"][0]
+    assert got[(1, 0)] == (works, 2)
+    assert got[(2, 0)] == (topics, 2)
+    assert got[(3, 0)] == (min(works, topics), 0)
+    # every (doc, position) resolved exactly once
+    n_positions = docs.select(
+        F.posexplode(F.split("text", " "))
+    ).count()
+    assert len(got) == n_positions  # every token here is a gazetteer surface
+
+
+def test_disambiguation_oracle_parity(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["scan table vector join", "scan join sort window",
+             "order sort scan", "hash merge stream scan table"]
+        )],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    want = sorted(map(tuple, con.sql(DOC_DISAMBIGUATED_SQL).fetchall()))
+    got = sorted(tuple(r) for r in disambiguate_mentions(docs).collect())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mojibake
+# ---------------------------------------------------------------------------
+
+
+def test_mojibake_table_roundtrips():
+    # every rule is the WHATWG-1252 misread of its target's UTF-8 bytes
+    for seq, ch in mojibake_table():
+        assert len(ch) == 1 and len(seq) >= 2
+        got = ch.encode("utf-8")
+        # re-encode the sequence back to the original bytes
+        back = bytes(
+            c.encode("cp1252")[0] if ord(c) not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+            else ord(c)
+            for c in seq
+        )
+        assert back == got
+    lens = [len(s) for s, _ in mojibake_table()]
+    assert lens == sorted(lens, reverse=True)  # longest-first contract
+
+
+def test_mojibake_repairs_classic_cases(spark):
+    cases = [
+        ("cafÃ©", "café"),                       # Ã© -> é
+        ("naÃ¯ve", "naïve"),                     # Ã¯ -> ï
+        ("â€™tis", "’tis"),            # â€™ -> ’
+        ("Aâ€“B", "A–B"),              # â€“ -> –
+        ("xÂ y", "x y"),                    # Â nbsp -> nbsp
+        ("plain ascii", "plain ascii"),                    # untouched
+        ("5 â€¦ done", "5 … done"),    # â€¦ -> …
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.text, r.n_repaired) for r in fix_mojibake(df).collect()}
+    for i, (raw, want) in enumerate(cases):
+        assert got[i][0] == want, (raw, got[i][0], want)
+        assert got[i][1] == len(raw) - len(want)
+
+
+def test_mojibake_double_encoding_needs_two_passes(spark):
+    # 'é' double-mojibaked: one pass peels one layer
+    double = "é".encode("utf-8").decode("cp1252").encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame([(1, double)], "doc_id long, text string")
+    once = fix_mojibake(df).collect()[0].text
+    assert once == "Ã©"
+    twice = fix_mojibake(
+        spark.createDataFrame([(1, once)], "doc_id long, text string")
+    ).collect()[0].text
+    assert twice == "é"
+
+
+def test_mojibake_sql_chain_duckdb_spark_parity(spark):
+    texts = [
+        "cafÃ© â€” ok",
+        "Ã¼ber â€œquoteâ€\x9d",
+        "mixed Ã± â€¢ Â© plain",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted((r.doc_id, r.text) for r in fix_mojibake(df).collect())
+    expr = repair_expr_sql("t")
+    want = sorted(
+        (i, duckdb.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [t]).fetchone()[0])
+        for i, t in enumerate(texts)
+    )
+    assert got == want
