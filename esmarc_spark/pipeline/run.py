@@ -45,6 +45,7 @@ def prepare_docs(
     host_ranks: DataFrame | None = None,
     min_rank_scaled: int = 0,
     keep_unranked: bool = True,
+    mojibake_repair: bool = False,
     dedup_lines_min_docs: int | None = None,
     dedup_spans_k: int | None = None,
     repetition_thresholds: tuple[float, float, float] | None = None,
@@ -70,6 +71,9 @@ def prepare_docs(
     3. legacy-charset decode + S1 extraction (+ per-url dedup unless
        ``url_dedup=False`` — the streaming path defers cross-batch url
        dedup to the downstream idempotent sink);
+    3a. mojibake repair — when ``mojibake_repair``, undo UTF-8-as-cp1252
+       damage in ``text`` (ops.mojibake). BEFORE content-based dedup and
+       gating so repaired text can't split dup groups or skew stats;
     3b. cross-doc line dedup — when ``dedup_lines_min_docs`` is set,
        strip lines occurring in >= that many documents of THIS input
        (ops.line_dedup). Requires ``url_dedup`` (the row key must be
@@ -130,6 +134,13 @@ def prepare_docs(
     )
     if url_dedup:
         docs = dedup_by_url(docs)
+    if mojibake_repair:
+        from esmarc_spark.ops.mojibake import repair_mojibake
+
+        # 3a. encoding repair — BEFORE any content-based dedup/gating, so
+        # repaired text can't split dup groups or skew repetition stats;
+        # map-only chained replace, no shuffle
+        docs = docs.withColumn("text", repair_mojibake("text"))
     if dedup_lines_min_docs is not None:
         if not url_dedup:
             raise ValueError(
@@ -207,6 +218,7 @@ def run_pipeline(
     host_ranks: DataFrame | None = None,
     min_rank_scaled: int = 0,
     keep_unranked: bool = True,
+    mojibake_repair: bool = False,
     dedup_lines_min_docs: int | None = None,
     dedup_spans_k: int | None = None,
     repetition_thresholds: tuple[float, float, float] | None = None,
@@ -246,6 +258,9 @@ def run_pipeline(
     * host_ranks + min_rank_scaled (+ keep_unranked): link-authority
       gate — drop rows from hosts whose ops.linkgraph.pagerank
       rank_scaled falls below the floor.
+    * mojibake_repair: undo UTF-8-as-cp1252 damage baked into the
+      source bytes (ops.mojibake chained-replace, map-only) right
+      after extraction, before any content-based dedup or gating.
     * repetition_thresholds: (dup_line, dup_char, top_bigram) maxima —
       e.g. GOPHER_REPETITION_THRESHOLDS — applied to extracted text.
     * pii_scrub: redact email/IPv4/phone in ``text`` before mentions.
@@ -260,6 +275,7 @@ def run_pipeline(
         host_ranks=host_ranks,
         min_rank_scaled=min_rank_scaled,
         keep_unranked=keep_unranked,
+        mojibake_repair=mojibake_repair,
         dedup_lines_min_docs=dedup_lines_min_docs,
         dedup_spans_k=dedup_spans_k,
         repetition_thresholds=repetition_thresholds,

@@ -149,3 +149,28 @@ def test_prepare_docs_badwords_and_span_knobs(spark):
 
     with _pt.raises(ValueError):
         prepare_docs(wt, dedup_spans_k=13, url_dedup=False)
+
+
+def test_prepare_docs_mojibake_repair_knob(spark):
+    import datetime as dt
+
+    from esmarc_spark.pipeline.run import prepare_docs
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        # html carries the corrupted bytes (already UTF-8 of the mojibake
+        # chars — the damage is baked into the source, S1 can't help)
+        ("https://a.example/1", t0,
+         "<p>visit the cafÃ© â€” naÃ¯ve quote â€œhiâ€\x9d</p>".encode(),
+         None, "en"),
+        ("https://a.example/2", t0, b"<p>plain ascii page</p>", None, "en"),
+    ]
+    wt = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    off = {r.url: r.text for r in prepare_docs(wt).collect()}
+    on = {r.url: r.text for r in prepare_docs(wt, mojibake_repair=True).collect()}
+    assert "cafÃ©" in off["https://a.example/1"]  # default keeps bytes as-is
+    assert "café — naïve quote “hi”" in on["https://a.example/1"]
+    assert on["https://a.example/2"] == off["https://a.example/2"]  # untouched
