@@ -770,6 +770,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hc(_lg_pages(spark, sf), iterations=4).orderBy("host")
 
+    def kg_negative_samples(spark, sf):
+        # TransE-style training negatives over the mentions edges:
+        # portable-md5 candidate draws against a two-level dense entity
+        # id (no global window), accidental positives anti-joined away
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.kg_negatives import negative_samples
+
+        m = kg_documents.doc_mentions(_t(spark, sf, "documents"))
+        pos = m.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("mentions").alias("pred"),
+            F.concat(
+                F.lit(kg_documents.TARGET), "entity_type", F.lit("/"),
+                "authority_id",
+            ).alias("obj"),
+        )
+        return negative_samples(pos, k=2).orderBy(
+            "subj", "pred", "obj", "neg_idx"
+        )
+
     def kg_disambiguated(spark, sf):
         # context-scored entity disambiguation: ambiguous gazetteer
         # surfaces resolved to ONE authority per mention position by
@@ -1321,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": host_pagerank,
         "host_communities": host_communities,
         "kg_disambiguated": kg_disambiguated,
+        "kg_negative_samples": kg_negative_samples,
         "fix_mojibake": fix_mojibake,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1611,6 +1635,16 @@ GROUP BY lang_guess ORDER BY lang_guess
         ).host_communities_sql(_LG_PAGES_SQL, 4),
         "kg_disambiguated": kg_documents.DOC_DISAMBIGUATED_SQL
         + " ORDER BY doc_id, position",
+        "kg_negative_samples": __import__(
+            "esmarc_spark.ops.kg_negatives", fromlist=["negative_samples_sql"]
+        ).negative_samples_sql(
+            "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS subj, "
+            "'mentions' AS pred, "
+            f"'{kg_documents.TARGET}' || entity_type || '/' || authority_id "
+            f"AS obj FROM ({kg_documents.DOC_MENTIONS_SQL})",
+            2,
+        )
+        + " ORDER BY subj, pred, obj, neg_idx",
         "fix_mojibake": (
             "SELECT doc_id, "
             + __import__(
