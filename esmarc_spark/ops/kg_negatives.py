@@ -74,7 +74,8 @@ def negative_samples(
     neg_idx) a unique key of the output."""
     pos = positives.select("subj", "pred", "obj").distinct()
     vocab = pos.select("obj").distinct()
-    ids = entity_ids(vocab, "obj", n_buckets)
+    # materialized once (the count action), reused by the candidate join
+    ids = entity_ids(vocab, "obj", n_buckets).localCheckpoint(eager=False)
     n_entities = ids.count()  # bounded scalar, sizes the modulus
     draws = pos.select(
         "subj", "pred", "obj",
