@@ -770,6 +770,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hc(_lg_pages(spark, sf), iterations=4).orderBy("host")
 
+    def community_quality(spark, sf):
+        # link-ring policy: LPA communities over the host graph, per-doc
+        # quality rolled up to the community (exact-int sums), keep/drop
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.host_rollup import community_quality_rollup
+        from esmarc_spark.ops.linkgraph import host_communities as hc
+
+        comm = hc(_lg_pages(spark, sf), iterations=4)
+        docs = _t(spark, sf, "documents").select(
+            F.concat(
+                F.lit("h"),
+                F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+                F.lit(".example"),
+            ).alias("host"),
+            "text",
+        )
+        return community_quality_rollup(docs, comm).orderBy("community")
+
     def kg_negative_samples(spark, sf):
         # TransE-style training negatives over the mentions edges:
         # portable-md5 candidate draws against a two-level dense entity
@@ -1345,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_communities": host_communities,
         "kg_disambiguated": kg_disambiguated,
         "kg_negative_samples": kg_negative_samples,
+        "community_quality": community_quality,
         "fix_mojibake": fix_mojibake,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1633,6 +1653,17 @@ GROUP BY lang_guess ORDER BY lang_guess
         "host_communities": __import__(
             "esmarc_spark.ops.linkgraph", fromlist=["host_communities_sql"]
         ).host_communities_sql(_LG_PAGES_SQL, 4),
+        "community_quality": __import__(
+            "esmarc_spark.ops.host_rollup",
+            fromlist=["community_quality_rollup_sql"],
+        ).community_quality_rollup_sql(
+            "SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,"
+            " text FROM documents",
+            __import__(
+                "esmarc_spark.ops.linkgraph", fromlist=["host_communities_sql"]
+            ).host_communities_sql(_LG_PAGES_SQL, 4),
+        )
+        + " ORDER BY community",
         "kg_disambiguated": kg_documents.DOC_DISAMBIGUATED_SQL
         + " ORDER BY doc_id, position",
         "kg_negative_samples": __import__(

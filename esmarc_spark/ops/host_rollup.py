@@ -96,3 +96,82 @@ SELECT host, n_docs,
          AS keep
 FROM r
 """
+
+
+def community_quality_rollup(
+    documents: DataFrame,
+    communities: DataFrame,
+    host_col: str = "host",
+    text: str = "text",
+    min_mean_quality: float = 0.6,
+) -> DataFrame:
+    """Quality policy one level above the host: roll the per-document
+    signal up to the LINK COMMUNITY (ops.linkgraph.label_propagation) —
+    the granularity at which spam actually organizes (a link ring's
+    members individually hover near any per-host threshold; their
+    community mean gives the ring away; RefinedWeb-style curation
+    applies exactly this domain-cluster policy).
+
+    (community, n_hosts, n_docs, mean_quality, keep). Hosts absent from
+    the link graph form singleton communities of themselves (left join
+    + coalesce) — an unlinked host is its own policy unit.
+
+    Scale shape: the doc->community attachment is an equi-join on the
+    uniform host hash (community dim ~#hosts; broadcast when small,
+    AQE decides); the rollup is one partial-aggregated groupBy on the
+    community key. Exact-int sums as in host_quality_rollup, so the
+    mean is bit-identical at any parallelism and in the oracle.
+    """
+    q6 = F.round(quality_score(text) * 1e6).cast("bigint")
+    d = documents.select(F.col(host_col).alias("host"), q6.alias("_q6"))
+    j = d.join(communities, "host", "left").withColumn(
+        "community", F.coalesce("community", F.col("host"))
+    )
+    return (
+        j.groupBy("community")
+        .agg(
+            F.count_distinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_q6").alias("_sq6"),
+        )
+        .select(
+            "community",
+            "n_hosts",
+            "n_docs",
+            F.round(F.col("_sq6").cast("double") / F.col("n_docs") / 1e6, 6)
+            .alias("mean_quality"),
+        )
+        .withColumn("keep", F.col("mean_quality") >= min_mean_quality)
+    )
+
+
+def community_quality_rollup_sql(
+    source_select: str,
+    communities_sql: str,
+    host_col: str = "host",
+    min_mean_quality: float = 0.6,
+) -> str:
+    """DuckDB oracle: identical attachment + exact-integer rollup; the
+    communities relation is typically a label_propagation_sql chain."""
+    return f"""
+WITH src AS ({source_select}),
+comm AS ({communities_sql}),
+q AS (
+  SELECT src.{host_col} AS host,
+         COALESCE(comm.community, src.{host_col}) AS community,
+         cast(round({QUALITY_SCORE_SQL} * 1e6) AS bigint) AS q6
+  FROM src LEFT JOIN comm ON comm.host = src.{host_col}
+),
+r AS (
+  SELECT community,
+         count(DISTINCT host) AS n_hosts,
+         count(*) AS n_docs,
+         cast(sum(q6) AS bigint) AS sq6
+  FROM q GROUP BY community
+)
+SELECT community, n_hosts, n_docs,
+       round(cast(sq6 AS double) / n_docs / 1e6, 6) AS mean_quality,
+       round(cast(sq6 AS double) / n_docs / 1e6, 6) >= {min_mean_quality}
+         AS keep
+FROM r
+"""

@@ -275,7 +275,10 @@ def host_pagerank_sql(pages_sql: str, iterations: int = 5) -> str:
 # a per-host rank can miss; the reference's analogous grouping is its
 # sameAs-edge canonicalization, re-expressed here over the host graph).
 # Synchronous label propagation with a deterministic tie-break: every
-# round each node adopts the most frequent label among its neighbors,
+# round each node adopts the most frequent label among its neighbors
+# PLUS one vote for its own current label (the self-vote damps the
+# 2-cycle oscillation synchronous LPA exhibits on bipartite-ish
+# components — a bridge pair would otherwise swap labels forever),
 # ties broken by MIN label — a pure function of the input (no float,
 # no randomized visit order), so a DuckDB unrolled-CTE replay
 # hash-matches at any parallelism.
@@ -313,7 +316,9 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     for _ in range(iterations):
         votes = (
             und.join(labels.withColumnRenamed("host", "dst"), "dst")
-            .groupBy(F.col("src").alias("host"), "label")
+            .select(F.col("src").alias("host"), "label")
+            .unionAll(labels)  # self-vote
+            .groupBy("host", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
         labels = (
@@ -350,9 +355,12 @@ def label_propagation_sql(edges_sql: str, iterations: int = 4) -> str:
     SELECT host, label,
            row_number() OVER (PARTITION BY host ORDER BY c DESC, label ASC) AS rn
     FROM (
-      SELECT u.src AS host, l.label, COUNT(*) AS c
-      FROM _und u JOIN _l{k} l ON l.host = u.dst
-      GROUP BY u.src, l.label
+      SELECT host, label, COUNT(*) AS c FROM (
+        SELECT u.src AS host, l.label
+        FROM _und u JOIN _l{k} l ON l.host = u.dst
+        UNION ALL
+        SELECT host, label FROM _l{k}
+      ) GROUP BY host, label
     )
   ) WHERE rn = 1
 )"""

@@ -26,7 +26,8 @@ from esmarc_spark.ops.mojibake import (
 
 
 def _python_lpa(edges, iterations=4):
-    """Reference: plain dicts, synchronous rounds, min-label tie-break."""
+    """Reference: plain dicts, synchronous rounds, neighbor votes plus
+    one self-vote, min-label tie-break."""
     sym = {(s, d) for s, d in edges if s != d}
     und = sorted(sym | {(d, s) for s, d in sym})
     nbrs = {}
@@ -36,7 +37,7 @@ def _python_lpa(edges, iterations=4):
     for _ in range(iterations):
         new = {}
         for v, ns in nbrs.items():
-            counts = {}
+            counts = {labels[v]: 1}  # self-vote
             for u in ns:
                 counts[labels[u]] = counts.get(labels[u], 0) + 1
             top = max(counts.values())
@@ -73,6 +74,18 @@ def test_lpa_cliques_converge_to_min_member(spark):
     # inside each clique, every member adopts the clique's min label
     assert {got[h] for h in ("a1", "a2", "a3")} == {"a1"}
     assert {got[h] for h in ("b2", "b3")} == {"b1"}
+
+
+def test_lpa_bridge_pair_does_not_oscillate(spark):
+    # without the self-vote, a 2-node component swaps labels forever and
+    # the result depends on iteration parity — the self-vote pins it
+    df = spark.createDataFrame([("g1", "g2")], "src string, dst string")
+    for iters in (3, 4):
+        got = {
+            r.host: r.community
+            for r in label_propagation(df, iters).collect()
+        }
+        assert got == {"g1": "g1", "g2": "g1"}
 
 
 def test_lpa_oracle_parity(spark):

@@ -174,3 +174,48 @@ def test_prepare_docs_mojibake_repair_knob(spark):
     assert "cafÃ©" in off["https://a.example/1"]  # default keeps bytes as-is
     assert "café — naïve quote “hi”" in on["https://a.example/1"]
     assert on["https://a.example/2"] == off["https://a.example/2"]  # untouched
+
+
+def test_community_quality_rollup_drops_link_ring(spark):
+    from esmarc_spark.ops.host_rollup import (
+        community_quality_rollup,
+        community_quality_rollup_sql,
+    )
+    from esmarc_spark.ops.linkgraph import label_propagation
+
+    # ring: r1..r4 densely interlinked; good: g1..g2 linked to each other
+    edges = [(f"r{i}", f"r{j}") for i in range(1, 5) for j in range(1, 5) if i != j]
+    edges += [("g1", "g2")]
+    comm = label_propagation(
+        spark.createDataFrame(edges, "src string, dst string"), 4
+    )
+    junk = "x " * 3  # short, low-quality text
+    good = ("The quick brown fox jumps over the lazy dog near the river "
+            "bank, and the study of language models continues. ") * 3
+    docs = spark.createDataFrame(
+        [(f"r{i}", junk) for i in range(1, 5)]
+        + [("g1", good), ("g2", good), ("lonely", good)],
+        "host string, text string",
+    )
+    out = {r.community: r for r in community_quality_rollup(docs, comm).collect()}
+    ring = out["r1"]  # min-label community of the ring
+    assert ring.n_hosts == 4 and not ring.keep
+    assert out["g1"].n_hosts == 2 and out["g1"].keep
+    assert out["lonely"].n_hosts == 1 and out["lonely"].keep  # singleton
+
+    # oracle parity over the same relations
+    import duckdb
+
+    ev = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    dv = ", ".join(
+        f"('{r.host}', '{r.text}')" for r in docs.collect()
+    )
+    from esmarc_spark.ops.linkgraph import label_propagation_sql
+
+    sql = community_quality_rollup_sql(
+        f"SELECT * FROM (VALUES {dv}) AS d(host, text)",
+        label_propagation_sql(f"SELECT * FROM (VALUES {ev}) AS e(src, dst)", 4),
+    )
+    want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    got = sorted(tuple(r) for r in community_quality_rollup(docs, comm).collect())
+    assert got == want
