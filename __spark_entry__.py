@@ -770,6 +770,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hc(_lg_pages(spark, sf), iterations=4).orderBy("host")
 
+    def host_triangles(spark, sf):
+        # per-host triangle participation over the host graph —
+        # degree-ordered orientation bounds the wedge fan-out at
+        # O(sqrt(m)) per key, hub-proof without salting
+        from esmarc_spark.ops.linkgraph import count_triangles, extract_outlinks
+
+        return count_triangles(
+            extract_outlinks(_lg_pages(spark, sf))
+        ).orderBy("host")
+
     def community_quality(spark, sf):
         # link-ring policy: LPA communities over the host graph, per-doc
         # quality rolled up to the community (exact-int sums), keep/drop
@@ -1365,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_disambiguated": kg_disambiguated,
         "kg_negative_samples": kg_negative_samples,
         "community_quality": community_quality,
+        "host_triangles": host_triangles,
         "fix_mojibake": fix_mojibake,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1664,6 +1675,15 @@ GROUP BY lang_guess ORDER BY lang_guess
             ).host_communities_sql(_LG_PAGES_SQL, 4),
         )
         + " ORDER BY community",
+        "host_triangles": __import__(
+            "esmarc_spark.ops.linkgraph",
+            fromlist=["count_triangles_sql", "outlinks_sql"],
+        ).count_triangles_sql(
+            __import__(
+                "esmarc_spark.ops.linkgraph", fromlist=["outlinks_sql"]
+            ).outlinks_sql(_LG_PAGES_SQL)
+        )
+        + " ORDER BY host",
         "kg_disambiguated": kg_documents.DOC_DISAMBIGUATED_SQL
         + " ORDER BY doc_id, position",
         "kg_negative_samples": __import__(

@@ -459,3 +459,108 @@ FROM (SELECT DISTINCT dst, token, src FROM _toks
 GROUP BY dst, token
 HAVING COUNT(*) >= {min_pages}
 """
+
+
+# ---------------------------------------------------------------------------
+# degree-ordered triangle counting (round 6)
+# ---------------------------------------------------------------------------
+#
+# Triangle participation separates organic neighborhoods (high local
+# clustering) from spam farms and scraped link lists (stars/chains with
+# near-zero closure) — a standard web-graph quality feature alongside
+# PageRank and communities. The naive formulation (self-join edges on a
+# shared endpoint) fans out O(deg^2) on every Zipf hub and dies at web
+# scale; the classical fix implemented here orients every undirected
+# edge from its LOWER-degree endpoint to its higher (ties by name), so
+# each node's out-degree is bounded by O(sqrt(m)) and the wedge join's
+# worst key costs sqrt(m)^2 = m — hub-proof by construction, no
+# salting needed.
+
+
+def count_triangles(edges: DataFrame) -> DataFrame:
+    """(host, n_triangles) — per-host triangle participation over the
+    undirected, deduplicated host graph. Every triangle credits all
+    three corners. Pure integer output; the DuckDB oracle replays the
+    identical orientation and joins."""
+    sym = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (
+        sym.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .unionAll(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient low-degree -> high-degree (ties: lexicographic), bounding
+    # out-degree at O(sqrt(m))
+    da = deg.withColumnRenamed("host", "a").withColumnRenamed("deg", "deg_a")
+    db = deg.withColumnRenamed("host", "b").withColumnRenamed("deg", "deg_b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # wedges from a shared low-degree source, closed by a third oriented
+    # edge in either direction
+    w1 = oriented.select(F.col("u").alias("p"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("p"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "p").where(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"]).select(
+        F.col("p").alias("c1"), F.col("x").alias("c2"), F.col("y").alias("c3")
+    )
+    corners = (
+        tris.select(F.col("c1").alias("host"))
+        .unionAll(tris.select(F.col("c2").alias("host")))
+        .unionAll(tris.select(F.col("c3").alias("host")))
+    )
+    return corners.groupBy("host").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def count_triangles_sql(edges_sql: str) -> str:
+    """DuckDB oracle: identical orientation, wedge, and closure joins."""
+    return f"""
+WITH _sym AS (SELECT src, dst FROM ({edges_sql}) WHERE src <> dst),
+_und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM _sym
+),
+_deg AS (
+  SELECT host, COUNT(*) AS deg FROM (
+    SELECT a AS host FROM _und UNION ALL SELECT b FROM _und
+  ) GROUP BY host
+),
+_oriented AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v
+  FROM _und u
+  JOIN _deg da ON da.host = u.a
+  JOIN _deg db ON db.host = u.b
+),
+_tris AS (
+  SELECT w1.u AS c1, w1.v AS c2, w2.v AS c3
+  FROM _oriented w1
+  JOIN _oriented w2 ON w2.u = w1.u AND w1.v < w2.v
+  JOIN (SELECT least(u, v) AS x, greatest(u, v) AS y FROM _oriented) c
+    ON c.x = w1.v AND c.y = w2.v
+)
+SELECT host, COUNT(*) AS n_triangles FROM (
+  SELECT c1 AS host FROM _tris
+  UNION ALL SELECT c2 FROM _tris
+  UNION ALL SELECT c3 FROM _tris
+) GROUP BY host
+"""

@@ -221,3 +221,74 @@ def test_mojibake_sql_chain_duckdb_spark_parity(spark):
         for i, t in enumerate(texts)
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _python_triangles(edges):
+    """Reference: brute-force set closure over the undirected graph."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    counts = {}
+    nodes = sorted(nbrs)
+    for a in nodes:
+        for b in nbrs[a]:
+            if b <= a:
+                continue
+            for c in nbrs[a] & nbrs[b]:
+                if c <= b:
+                    continue
+                for v in (a, b, c):
+                    counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def _triangle_toy_edges():
+    # two triangles sharing a vertex + a star hub (0 triangles) + a chain
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "d"), ("d", "e"), ("e", "c"),
+        ("chain1", "chain2"), ("chain2", "chain3"),
+    ]
+    edges += [("hub", f"leaf{i}") for i in range(12)]
+    # duplicate + reversed duplicates must not double count
+    edges += [("b", "a"), ("a", "b")]
+    return edges
+
+
+def test_triangles_match_python_reference(spark):
+    from esmarc_spark.ops.linkgraph import count_triangles
+
+    edges = _triangle_toy_edges()
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.host: r.n_triangles for r in count_triangles(df).collect()}
+    assert got == _python_triangles(edges)
+    assert got["c"] == 2       # shared vertex of both triangles
+    assert "hub" not in got    # stars close nothing
+
+
+def test_triangles_oracle_parity(spark):
+    from esmarc_spark.ops.linkgraph import count_triangles, count_triangles_sql
+
+    edges = _triangle_toy_edges()
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted((r.host, r.n_triangles) for r in count_triangles(df).collect())
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                count_triangles_sql(f"SELECT * FROM (VALUES {vals}) AS e(src, dst)")
+            ).fetchall(),
+        )
+    )
+    assert got == want
