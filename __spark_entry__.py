@@ -780,6 +780,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_outlinks(_lg_pages(spark, sf))
         ).orderBy("host")
 
+    def host_clustering(spark, sf):
+        # local clustering coefficient (exact scaled-int floor): the
+        # spam-farm-vs-organic-neighborhood signal next to PageRank
+        from esmarc_spark.ops.linkgraph import (
+            clustering_coefficient,
+            extract_outlinks,
+        )
+
+        return clustering_coefficient(
+            extract_outlinks(_lg_pages(spark, sf))
+        ).orderBy("host")
+
     def community_quality(spark, sf):
         # link-ring policy: LPA communities over the host graph, per-doc
         # quality rolled up to the community (exact-int sums), keep/drop
@@ -1376,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": kg_negative_samples,
         "community_quality": community_quality,
         "host_triangles": host_triangles,
+        "host_clustering": host_clustering,
         "fix_mojibake": fix_mojibake,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1679,6 +1692,15 @@ GROUP BY lang_guess ORDER BY lang_guess
             "esmarc_spark.ops.linkgraph",
             fromlist=["count_triangles_sql", "outlinks_sql"],
         ).count_triangles_sql(
+            __import__(
+                "esmarc_spark.ops.linkgraph", fromlist=["outlinks_sql"]
+            ).outlinks_sql(_LG_PAGES_SQL)
+        )
+        + " ORDER BY host",
+        "host_clustering": __import__(
+            "esmarc_spark.ops.linkgraph",
+            fromlist=["clustering_coefficient_sql", "outlinks_sql"],
+        ).clustering_coefficient_sql(
             __import__(
                 "esmarc_spark.ops.linkgraph", fromlist=["outlinks_sql"]
             ).outlinks_sql(_LG_PAGES_SQL)

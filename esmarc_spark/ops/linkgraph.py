@@ -564,3 +564,67 @@ SELECT host, COUNT(*) AS n_triangles FROM (
   UNION ALL SELECT c3 FROM _tris
 ) GROUP BY host
 """
+
+
+def clustering_coefficient(edges: DataFrame, scale: int = 10**6) -> DataFrame:
+    """(host, deg, n_triangles, coef_scaled) — local clustering
+    coefficient per host: coef = 2*T / (deg*(deg-1)), kept as the exact
+    int64 floor of coef*scale (the repo's scaled-integer recipe: float
+    division would break cross-engine/cross-parallelism hash identity).
+    Hosts with deg < 2 get 0. Spam farms and scraped link lists sit
+    near 0 (stars close nothing); organic neighborhoods sit high —
+    the standard web-graph quality feature next to PageRank and
+    communities.
+
+    Scale shape: one extra groupBy (degree) + a left join against the
+    hub-proof triangle relation; everything else inherits
+    count_triangles' degree-ordered bounds."""
+    sym = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = sym.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .unionAll(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = count_triangles(edges)
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    denom = F.col("deg") * (F.col("deg") - 1)
+    return (
+        deg.join(tri, "host", "left")
+        .select(
+            "host",
+            "deg",
+            t.alias("n_triangles"),
+            F.when(F.col("deg") < 2, F.lit(0).cast("long"))
+            .otherwise(_fdiv(F.lit(2) * t * F.lit(scale), denom))
+            .alias("coef_scaled"),
+        )
+    )
+
+
+def clustering_coefficient_sql(edges_sql: str, scale: int = 10**6) -> str:
+    """DuckDB oracle: identical degree/triangle relations, identical
+    exact floor division."""
+    num = f"(2 * COALESCE(t.n_triangles, 0) * {scale})"
+    den = "(d.deg * (d.deg - 1))"
+    return f"""
+WITH _sym AS (SELECT src, dst FROM ({edges_sql}) WHERE src <> dst),
+_und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM _sym
+),
+_deg AS (
+  SELECT host, COUNT(*) AS deg FROM (
+    SELECT a AS host FROM _und UNION ALL SELECT b FROM _und
+  ) GROUP BY host
+),
+_tri AS ({count_triangles_sql(edges_sql)})
+SELECT host, deg,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg < 2 THEN 0
+            ELSE CAST(({num} - {num} % {den}) / {den} AS BIGINT) END
+         AS coef_scaled
+FROM _deg d LEFT JOIN _tri t USING (host)
+"""

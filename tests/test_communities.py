@@ -292,3 +292,35 @@ def test_triangles_oracle_parity(spark):
         )
     )
     assert got == want
+
+
+def test_clustering_coefficient(spark):
+    from esmarc_spark.ops.linkgraph import (
+        clustering_coefficient,
+        clustering_coefficient_sql,
+    )
+
+    edges = _triangle_toy_edges()
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.host: r for r in clustering_coefficient(df).collect()}
+    # triangle corner with deg 2: coef = 2*1/(2*1) = 1.0
+    assert got["a"].coef_scaled == 10**6
+    # shared vertex c: deg 4, T=2 -> 2*2/(4*3) = 1/3 (floored)
+    assert got["c"].deg == 4 and got["c"].coef_scaled == 333333
+    # star hub: many neighbors, zero closure
+    assert got["hub"].deg == 12 and got["hub"].coef_scaled == 0
+    # pendant chain middle: deg 2, no triangle
+    assert got["chain2"].coef_scaled == 0
+    # oracle parity
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                clustering_coefficient_sql(
+                    f"SELECT * FROM (VALUES {vals}) AS e(src, dst)"
+                )
+            ).fetchall(),
+        )
+    )
+    assert sorted(map(tuple, got.values())) == want
