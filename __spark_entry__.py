@@ -780,6 +780,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_outlinks(_lg_pages(spark, sf))
         ).orderBy("host")
 
+    def kg_sameas_canonical(spark, sf):
+        # S4 canonicalization exposed directly: alternating large/small-
+        # star CC over synthesized cross-authority sameAs chains
+        # (gnd<->wd<->viaf), canonical = min URI of the component; the
+        # oracle recomputes min-reachable via a RECURSIVE CTE
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.pipeline.canonicalize import canonical_mapping
+
+        d = F.col("doc_id")
+        base = _t(spark, sf, "documents").select("doc_id")
+        e1 = base.select(
+            F.concat(F.lit("gnd:"), F.pmod(d, F.lit(101)).cast("string")).alias(
+                "src"
+            ),
+            F.concat(
+                F.lit("wd:"), F.pmod(d * 7 + 3, F.lit(101)).cast("string")
+            ).alias("dst"),
+        )
+        e2 = base.where(F.pmod(d, F.lit(3)) == 0).select(
+            F.concat(
+                F.lit("wd:"), F.pmod(d * 7 + 3, F.lit(101)).cast("string")
+            ).alias("src"),
+            F.concat(
+                F.lit("viaf:"), F.pmod(d * 11 + 5, F.lit(53)).cast("string")
+            ).alias("dst"),
+        )
+        return canonical_mapping(e1.unionAll(e2).distinct()).orderBy("uri")
+
     def host_clustering(spark, sf):
         # local clustering coefficient (exact scaled-int floor): the
         # spam-farm-vs-organic-neighborhood signal next to PageRank
@@ -1389,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_quality": community_quality,
         "host_triangles": host_triangles,
         "host_clustering": host_clustering,
+        "kg_sameas_canonical": kg_sameas_canonical,
         "fix_mojibake": fix_mojibake,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1708,6 +1738,28 @@ GROUP BY lang_guess ORDER BY lang_guess
         + " ORDER BY host",
         "kg_disambiguated": kg_documents.DOC_DISAMBIGUATED_SQL
         + " ORDER BY doc_id, position",
+        "kg_sameas_canonical": """
+WITH RECURSIVE _raw AS (
+  SELECT 'gnd:' || CAST(doc_id % 101 AS VARCHAR) AS src,
+         'wd:' || CAST((doc_id * 7 + 3) % 101 AS VARCHAR) AS dst
+  FROM documents
+  UNION
+  SELECT 'wd:' || CAST((doc_id * 7 + 3) % 101 AS VARCHAR),
+         'viaf:' || CAST((doc_id * 11 + 5) % 53 AS VARCHAR)
+  FROM documents WHERE doc_id % 3 = 0
+),
+_edges AS (
+  SELECT src, dst FROM _raw UNION SELECT dst, src FROM _raw
+),
+_nodes AS (SELECT DISTINCT src AS node FROM _edges),
+reach(node, r) AS (
+  SELECT node, node FROM _nodes
+  UNION
+  SELECT e.dst, reach.r FROM _edges e JOIN reach ON reach.node = e.src
+)
+SELECT node AS uri, MIN(r) AS canonical_uri
+FROM reach GROUP BY node ORDER BY uri
+""",
         "kg_negative_samples": __import__(
             "esmarc_spark.ops.kg_negatives", fromlist=["negative_samples_sql"]
         ).negative_samples_sql(
