@@ -206,8 +206,16 @@ def lsh_candidate_pairs(
     representative (O(k) pairs). Members of a giant band bucket are
     near-certain duplicates, the star edges still go through the exact
     Jaccard verify, and the connected-components stage downstream
-    (``dedup_corpus``) restores transitivity, so cluster membership is
-    preserved while the fan-out stays linear.
+    (``dedup_corpus``) restores transitivity through the verified
+    edges. The tradeoff is RECALL, stated plainly (ADVICE r6 #4): a
+    star edge that fails the Jaccard verify severs its member from the
+    bucket entirely, so two members that would have verified against
+    EACH OTHER can escape dedup once their rep links both fail —
+    guarded results can differ from the unguarded/from-scratch run
+    whenever a bucket exceeds the cap. Members of a degenerate band
+    bucket share an entire minhash band with the rep, so in practice
+    the rep link verifies; corpora where it might not should raise
+    ``max_bucket_size`` or disable the guard.
 
     The default cap (256 → ≤32k pairs per degenerate bucket) is far
     above any bucket a non-adversarial corpus produces (measured max 4

@@ -26,9 +26,15 @@ Per new dump the work is:
    clusters, or even become their new min-id root), one atomic marker.
 
 Cost per dump is therefore O(new + touched history), independent of
-corpus age, while the result provably equals from-scratch
-``dedup_corpus`` over the concatenated dumps (tested on 3-dump corpora
-including cross-dump clusters and root demotion).
+corpus age, while the result equals from-scratch ``dedup_corpus`` over
+the concatenated dumps (tested on 3-dump corpora including cross-dump
+clusters and root demotion) — PROVIDED no (band, band_key) bucket
+exceeds the star-guard cap. Past the cap, both paths take the guarded
+star edges (``pairs_from_buckets``), whose recall depends on which
+doc_id is the bucket minimum — and the incremental path sees per-dump
+buckets plus cross-dump candidate slices rather than the full-corpus
+bucket, so the two runs can diverge on guarded buckets (ADVICE r6 #4;
+the equality tests pin the sub-cap regime).
 
 State layout under ``state_root`` (any fsio-capable URI):
 
@@ -314,5 +320,7 @@ def incremental_survivors(
     """Global survivor view after any number of committed dumps: rows of
     ``all_docs`` that are their own cluster root (or clustered with
     nothing). Equals from-scratch ``dedup_corpus(all_docs)`` when the
-    dumps were committed in order (tested)."""
+    dumps were committed in order AND no band bucket exceeded the
+    star-guard cap (tested; see the module docstring for the guarded-
+    bucket divergence)."""
     return _survivors_against(all_docs, DedupState(state_root).mapping(spark))

@@ -36,20 +36,34 @@ from esmarc_spark.ops.hashing import portable_hash, portable_hash_sql
 
 
 def duplicate_line_keys(
-    documents: DataFrame, min_docs: int = 2, text_col: str = "text"
+    documents: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    group_expr: F.Column | None = None,
 ) -> DataFrame:
     """(lk, n_docs): portable hash of every line occurring in >=
     min_docs distinct documents. Empty lines are excluded up front
     (they would always "repeat" and their removal is a formatting
-    decision, not a dedup one)."""
+    decision, not a dedup one).
+
+    ``group_expr`` (a Column over the document row) scopes the corpus:
+    frequencies are counted per group and the output gains the ``__g``
+    column. The batch backfill passes the pday url prefix here so its
+    one-job counts equal the per-day loop's (ADVICE r6 #2)."""
+    cols = ["doc_id"] + (
+        [group_expr.alias("__g")] if group_expr is not None else []
+    )
     lines = documents.select(
-        "doc_id",
+        *cols,
         F.explode(F.split(F.col(text_col), "\n")).alias("line"),
     ).where(F.col("line") != "")
+    gkeys = ["__g"] if group_expr is not None else []
     return (
-        lines.select(portable_hash(F.col("line")).alias("lk"), "doc_id")
+        lines.select(
+            *gkeys, portable_hash(F.col("line")).alias("lk"), "doc_id"
+        )
         .distinct()
-        .groupBy("lk")
+        .groupBy(*gkeys, "lk")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
@@ -60,33 +74,56 @@ def remove_duplicate_lines(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    group_expr: F.Column | None = None,
 ) -> DataFrame:
     """(id_col, text, kept_lines): every document with its
     corpus-frequent lines removed (order of surviving lines preserved;
     empty lines dropped). Documents reduced to nothing keep a row with
     text='' and kept_lines=0 — downstream length gates decide their
     fate, not this operator. ``id_col`` must be row-unique (duplicate
-    ids would merge their documents' lines into one garbled text)."""
+    ids would merge their documents' lines into one garbled text).
+
+    ``group_expr`` scopes frequency counting per group (see
+    duplicate_line_keys); it is evaluated against the ORIGINAL frame's
+    columns."""
     if id_col != "doc_id":
+        extra = [group_expr.alias("__gsrc")] if group_expr is not None else []
         out = remove_duplicate_lines(
-            documents.select(F.col(id_col).alias("doc_id"), text_col),
+            documents.select(
+                F.col(id_col).alias("doc_id"), text_col, *extra
+            ),
             min_docs,
             text_col,
+            group_expr=F.col("__gsrc") if group_expr is not None else None,
         )
         return out.select(F.col("doc_id").alias(id_col), "text", "kept_lines")
-    keys = duplicate_line_keys(documents, min_docs, text_col).select("lk")
-    return _strip_lines(documents, keys, text_col)
+    keys = duplicate_line_keys(documents, min_docs, text_col, group_expr)
+    return _strip_lines(
+        documents,
+        keys.select(*(["__g"] if group_expr is not None else []), "lk"),
+        text_col,
+        group_expr,
+    )
 
 
-def _strip_lines(documents: DataFrame, keys: DataFrame, text_col: str) -> DataFrame:
-    """Remove every line whose hash is in ``keys`` (one ``lk`` column)
-    from doc_id-keyed ``documents``; rebuild order-preserved text."""
+def _strip_lines(
+    documents: DataFrame,
+    keys: DataFrame,
+    text_col: str,
+    group_expr: F.Column | None = None,
+) -> DataFrame:
+    """Remove every line whose hash is in ``keys`` (one ``lk`` column,
+    plus ``__g`` when ``group_expr`` scopes the corpus) from
+    doc_id-keyed ``documents``; rebuild order-preserved text."""
+    gcols = [group_expr.alias("__g")] if group_expr is not None else []
+    gkeys = ["__g"] if group_expr is not None else []
     lines = documents.select(
         "doc_id",
+        *gcols,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).where(F.col("line") != "")
     kept = lines.withColumn("lk", portable_hash(F.col("line"))).join(
-        keys, "lk", "left_anti"
+        keys, [*gkeys, "lk"], "left_anti"
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(

@@ -125,21 +125,30 @@ def duplicated_span_seeds(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_expr: F.Column | None = None,
 ) -> DataFrame:
     """(id, seed) rows: 1-based token positions where a corpus-duplicated
     k-shingle starts. ``min_count`` counts occurrences corpus-wide,
-    including repeats inside one document."""
+    including repeats inside one document.
+
+    ``group_expr`` (a Column over the document row) scopes the corpus:
+    occurrences are counted per group, so the batch backfill's one-job
+    counts equal the per-day loop's (ADVICE r6 #2)."""
     toks = F.split(F.col(text_col), " ")
+    gcols = [group_expr.alias("__g")] if group_expr is not None else []
+    gkeys = ["__g"] if group_expr is not None else []
     pos = documents.select(
-        F.col(id_col), F.posexplode(_span_hashes(toks, k)).alias("pos0", "sh")
+        F.col(id_col),
+        *gcols,
+        F.posexplode(_span_hashes(toks, k)).alias("pos0", "sh"),
     )
     dup_sh = (
-        pos.groupBy("sh")
+        pos.groupBy(*gkeys, "sh")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_count)
-        .select("sh")
+        .select(*gkeys, "sh")
     )
-    return pos.join(dup_sh, "sh").select(
+    return pos.join(dup_sh, [*gkeys, "sh"]).select(
         id_col, (F.col("pos0") + 1).alias("seed")
     )
 
@@ -150,13 +159,17 @@ def remove_duplicate_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_expr: F.Column | None = None,
 ) -> DataFrame:
     """Input columns + ``clean_text`` (the document with every
     corpus-duplicated k-token span cut out) and ``n_removed_tokens``.
     Documents with no duplicated span keep ``text`` byte-identical
-    (including null)."""
+    (including null). ``group_expr`` scopes duplication counting per
+    group (see duplicated_span_seeds)."""
     seeds = (
-        duplicated_span_seeds(documents, k, min_count, id_col, text_col)
+        duplicated_span_seeds(
+            documents, k, min_count, id_col, text_col, group_expr
+        )
         .groupBy(id_col)
         .agg(F.collect_set("seed").alias("__seeds"))
     )

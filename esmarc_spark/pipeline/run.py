@@ -34,6 +34,31 @@ from esmarc_spark.pipeline.checkpoint import CheckpointStore
 GOPHER_REPETITION_THRESHOLDS: tuple[float, float, float] = (0.30, 0.20, 0.18)
 
 
+def _host_authority_gate(
+    df: DataFrame,
+    host_ranks: DataFrame,
+    min_rank_scaled: int,
+    keep_unranked: bool,
+) -> DataFrame:
+    """Drop rows whose url host ranks below ``min_rank_scaled`` in the
+    (host, rank_scaled) dim — shared by prepare_docs (stage 1b) and the
+    batch backfill, which must run it on the UNFOLDED url (ADVICE r6 #1:
+    host_of() over a pday-folded url returns '' and the gate silently
+    no-ops / drops everything)."""
+    from esmarc_spark.ops.urlnorm import host_of
+
+    keyed = df.withColumn("__host", host_of(F.col("url")))
+    if keep_unranked:
+        gate_side = host_ranks.where(
+            F.col("rank_scaled") < min_rank_scaled
+        ).select(F.col("host").alias("__host"))
+        return keyed.join(gate_side, "__host", "anti").drop("__host")
+    gate_side = host_ranks.where(
+        F.col("rank_scaled") >= min_rank_scaled
+    ).select(F.col("host").alias("__host"))
+    return keyed.join(gate_side, "__host", "semi").drop("__host")
+
+
 def prepare_docs(
     webtext: DataFrame,
     *,
@@ -52,11 +77,18 @@ def prepare_docs(
     badword_list=None,
     pii_scrub: bool = False,
     url_dedup: bool = True,
+    dedup_scope: F.Column | None = None,
 ) -> DataFrame:
     """The shared S0.5-S1.5 curation front-end: webtext in, curated docs
     out. ``run_pipeline`` and the streaming foreachBatch runner both call
     THIS function, so batch and streaming curation semantics are identical
     by construction (round 6 — VERDICT r5 #7).
+
+    ``dedup_scope`` (internal, round 7): a Column over the doc row that
+    scopes the CORPUS for stages 3b/3c — line/span frequencies are
+    counted per scope value instead of over the whole input. The batch
+    backfill passes the folded pday prefix so one-job counts equal the
+    per-day loop's; leave None everywhere else.
 
     Stage order (each gate only pays for rows the previous one kept):
 
@@ -106,19 +138,9 @@ def prepare_docs(
 
         webtext = filter_by_host_blocklist(webtext, host_blocklist)
     if host_ranks is not None:
-        from esmarc_spark.ops.urlnorm import host_of
-
-        keyed = webtext.withColumn("__host", host_of(F.col("url")))
-        if keep_unranked:
-            gate_side = host_ranks.where(
-                F.col("rank_scaled") < min_rank_scaled
-            ).select(F.col("host").alias("__host"))
-            webtext = keyed.join(gate_side, "__host", "anti").drop("__host")
-        else:
-            gate_side = host_ranks.where(
-                F.col("rank_scaled") >= min_rank_scaled
-            ).select(F.col("host").alias("__host"))
-            webtext = keyed.join(gate_side, "__host", "semi").drop("__host")
+        webtext = _host_authority_gate(
+            webtext, host_ranks, min_rank_scaled, keep_unranked
+        )
     if canonical_url_dedup:
         from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
 
@@ -151,7 +173,10 @@ def prepare_docs(
         from esmarc_spark.ops.line_dedup import remove_duplicate_lines
 
         cleaned = remove_duplicate_lines(
-            docs.select("url", "text"), dedup_lines_min_docs, id_col="url"
+            docs.select("url", "text"),
+            dedup_lines_min_docs,
+            id_col="url",
+            group_expr=dedup_scope,
         )
         docs = docs.drop("text").join(
             cleaned.select("url", "text"), "url"
@@ -166,7 +191,10 @@ def prepare_docs(
         from esmarc_spark.ops.span_dedup import remove_duplicate_spans
 
         cleaned = remove_duplicate_spans(
-            docs.select("url", "text"), k=dedup_spans_k, id_col="url"
+            docs.select("url", "text"),
+            k=dedup_spans_k,
+            id_col="url",
+            group_expr=dedup_scope,
         )
         docs = docs.drop("text").join(
             cleaned.select(
@@ -300,26 +328,41 @@ def run_pipeline(
 def _curated_day_docs(
     partitioned: DataFrame, days: list[str], curation: dict | None
 ) -> DataFrame:
-    """The batch-shaped curation front-end over day partitions: blocklist
-    and per-(pday) canonical dedup BEFORE the pday fold (a folded url
-    would defeat host parsing / canonicalization), then the row-local
-    prepare_docs gates over the folded frame. Byte-identical per day to
-    the loop path (tested)."""
+    """The batch-shaped curation front-end over day partitions: every
+    URL-READING gate (blocklist, host-authority rank gate, per-(pday)
+    canonical dedup) runs BEFORE the pday fold — a folded
+    '2024-01-01https://...' url would make host_of() return '' and
+    silently no-op the host gates (ADVICE r6 #1) — then the row-local
+    prepare_docs gates run over the folded frame. The corpus-scoped
+    line/span dedup stages count frequencies per pday (the folded url's
+    fixed-width prefix) so the one-job backfill stays byte-identical per
+    day to the loop path with ANY flag combination (tested)."""
     part = partitioned.where(F.col("pday").isin(days))
     cur = dict(curation or {})
     host_bl = cur.pop("host_blocklist", None)
+    host_ranks = cur.pop("host_ranks", None)
+    min_rank_scaled = cur.pop("min_rank_scaled", 0)
+    keep_unranked = cur.pop("keep_unranked", True)
     canon = cur.pop("canonical_url_dedup", False)
     work = part
     if host_bl is not None:
         from esmarc_spark.ops.urlnorm import filter_by_host_blocklist
 
         work = filter_by_host_blocklist(work, host_bl)
+    if host_ranks is not None:
+        # prepare_docs stage 1b, on the UNFOLDED url (a pure row filter
+        # — day-independent by construction)
+        work = _host_authority_gate(
+            work, host_ranks, min_rank_scaled, keep_unranked
+        )
     if canon:
         from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
 
         work = dedup_by_canonical_url(work, group_cols=("pday",))
     keyed = work.withColumn("url", F.concat(F.col("pday"), F.col("url")))
-    return prepare_docs(keyed, **cur)
+    return prepare_docs(
+        keyed, dedup_scope=F.substring(F.col("url"), 1, 10), **cur
+    )
 
 
 def _folded_docs_to_triples(

@@ -98,6 +98,28 @@ def stream_page_triples(
     return page_triples(stream, gazetteer, source_index)
 
 
+def _batch_doc_id(batch_id: int, batch_bits: int = 20) -> F.Column:
+    """Batch-ordered int64 doc id: batch_id * 2^(62-batch_bits) + a
+    (62-batch_bits)-bit url hash. Batch-ordered so the min-id dedup
+    representative is always the FIRST batch that saw the content. The
+    default split (20 batch bits / 42 hash bits) covers ~2 years of
+    one-a-minute triggers with a 4.4e12 per-batch hash space; past
+    2^batch_bits this raises an actionable error instead of letting
+    ANSI mode abort the stream with an opaque long-overflow
+    (ADVICE r6 #3)."""
+    hash_bits = 62 - batch_bits
+    if batch_id >= (1 << batch_bits):
+        raise ValueError(
+            f"batch_id {batch_id} needs more than batch_bits={batch_bits}"
+            f" (doc ids are batch_id*2^{hash_bits} + hash; raise "
+            "corpus_dedup['batch_bits'] on a NEW state_root — ids must "
+            "stay comparable within one state)"
+        )
+    return F.lit(int(batch_id)).cast("long") * F.lit(
+        1 << hash_bits
+    ) + F.pmod(F.xxhash64("url"), F.lit(1 << hash_bits))
+
+
 def run_page_triples_foreach_batch(
     spark: SparkSession,
     input_dir: str,
@@ -143,11 +165,16 @@ def run_page_triples_foreach_batch(
     overwritten per batch_id — replay-idempotent like the triple sink)
     BEFORE the dedup, because history must cover dropped docs too, and
     earlier batches' stores serve as the lazy history side (candidate
-    semi-join only). Doc identity is (batch_id << 47) | 47-bit url hash,
+    semi-join only). Doc identity is (batch_id << hash_bits) | url hash,
     so the min-id cluster representative is always the FIRST batch that
     saw the content — emission stays append-only, and a replayed batch
-    finds its dump already committed and rewrites byte-identical
-    output."""
+    finds its dump already committed and rewrites byte-identical output.
+    ``batch_bits`` (default 20 → ~2 years of one-a-minute triggers,
+    42-bit per-batch hash space) sizes the id split; a stream that
+    outlives 2^batch_bits batches fails with an actionable error
+    instead of an ANSI long-overflow abort (ADVICE r6 #3) — raise the
+    knob on a NEW state_root, since ids must stay comparable within one
+    state."""
     gazetteer = gazetteer.cache()
     if stream is None:
         reader = spark.readStream.schema(WEBTEXT_SCHEMA)
@@ -170,9 +197,7 @@ def run_page_triples_foreach_batch(
             cd = dict(corpus_dedup)
             state_root = cd.pop("state_root")
             docs_store = cd.pop("docs_store", f"{table_dir}.docs")
-            doc_id = F.lit(int(batch_id)).cast("long") * F.lit(1 << 47) + F.pmod(
-                F.xxhash64("url"), F.lit(1 << 47)
-            )
+            doc_id = _batch_doc_id(batch_id, cd.pop("batch_bits", 20))
             docs.withColumn("doc_id", doc_id).write.mode("overwrite").parquet(
                 f"{docs_store}/batch_id={batch_id}"
             )

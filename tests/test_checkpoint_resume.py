@@ -145,10 +145,13 @@ def test_backfill_corrupt_readback_raises_not_done(spark, tmp_path, inputs):
 
 
 def test_backfill_matches_loop_with_curation(spark, tmp_path):
-    """Round 6: loop and single-job backfill must stay byte-identical
+    """Round 6/7: loop and single-job backfill must stay byte-identical
     with the curation gates ON — the batch path re-groups canonical
-    dedup per (pday,) and runs the blocklist pre-fold, so any
-    divergence would show here."""
+    dedup per (pday,), runs blocklist AND the host-authority gate
+    pre-fold (ADVICE r6 #1: the gate on a folded url silently no-ops),
+    and scopes line/span dedup frequencies per pday (ADVICE r6 #2: a
+    line shared only ACROSS days must survive in batch mode exactly as
+    it does in the per-day loop)."""
     from pyspark.sql import functions as F
 
     from esmarc_spark.pipeline.run import GOPHER_REPETITION_THRESHOLDS
@@ -158,12 +161,24 @@ def test_backfill_matches_loop_with_curation(spark, tmp_path):
     )
     i = F.col("_i")
     rep = F.concat_ws("\n", *([F.col("text")] + [F.lit("repeat me please now")] * 20))
+    # a line occurring in 3 docs TOTAL (i%50==7): its per-day count is
+    # 1-2, so the loop keeps it — a naive whole-backfill count of 3
+    # would strip it (min_docs=2); likewise a 15-token span in 3 docs
+    cross_day_line = F.lit("\nshared across days boilerplate banner line")
+    cross_day_span = F.lit(
+        " alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        " lambda mu nu xi omicron"
+    )
     wt = (
         base.withColumn(
             "url",
             F.when(
                 i % 10 == 0,
                 F.concat(F.lit("https://sub.spam.example/page/"), i.cast("string")),
+            )
+            .when(
+                i % 10 == 5,
+                F.concat(F.lit("https://lowrank.example/page/"), i.cast("string")),
             )
             .when(
                 # canonical-dup variants: tracking param + explicit :443
@@ -186,6 +201,20 @@ def test_backfill_matches_loop_with_curation(spark, tmp_path):
             ).otherwise(F.col("text")),
         )
         .withColumn(
+            "text",
+            F.when(
+                (i % 50 == 7) & F.col("text").isNotNull(),
+                F.concat(F.col("text"), cross_day_line),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                (i % 50 == 11) & F.col("text").isNotNull(),
+                F.concat(F.col("text"), cross_day_span),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn(
             "warc_ts",
             F.timestamp_seconds(
                 F.lit(1700000000) + F.pmod(F.xxhash64("url"), F.lit(3)) * 86400
@@ -196,10 +225,18 @@ def test_backfill_matches_loop_with_curation(spark, tmp_path):
     )
     gaz = gazetteer_df(spark)
     blocked = spark.createDataFrame([("spam.example",)], "host string")
+    ranks = spark.createDataFrame(
+        [("lowrank.example", 10), ("example.org", 5000)],
+        "host string, rank_scaled long",
+    )
     curation = dict(
         canonical_url_dedup=True,
         host_blocklist=blocked,
+        host_ranks=ranks,
+        min_rank_scaled=100,
         repetition_thresholds=GOPHER_REPETITION_THRESHOLDS,
+        dedup_lines_min_docs=2,
+        dedup_spans_k=13,
         pii_scrub=True,
     )
 
@@ -212,6 +249,8 @@ def test_backfill_matches_loop_with_curation(spark, tmp_path):
     assert loop_triples and not any(
         "spam.example" in subj for subj, _, _, _ in loop_triples
     )
+    # the host-authority gate actually fired in BOTH modes
+    assert not any("lowrank.example" in subj for subj, _, _, _ in loop_triples)
 
 
 def _corpus_dedup_inputs(spark):

@@ -588,3 +588,31 @@ def test_prepare_docs_line_dedup_gate(spark):
     assert gated.count() == plain.count()  # rows kept, lines stripped
     with _pytest.raises(ValueError):
         prepare_docs(web, dedup_lines_min_docs=2, url_dedup=False)
+
+
+def test_batch_doc_id_bounds(spark):
+    """ADVICE r6 #3: the drop-box doc-id split must fail with an
+    actionable error at 2^batch_bits batches instead of an ANSI
+    long-overflow abort mid-stream; ids stay positive int64 and
+    batch-ordered right up to the bound."""
+    import pytest as _pytest
+
+    from esmarc_spark.pipeline.streaming import _batch_doc_id
+
+    web = synth_webtext(spark, n_docs=5, partitions=1, dup_fraction=0)
+    last_ok = (1 << 20) - 1
+    hi = web.select(_batch_doc_id(last_ok).alias("doc_id")).agg(
+        F.min("doc_id"), F.max("doc_id")
+    ).collect()[0]
+    assert 0 < hi[0] and hi[1] < (1 << 62)
+    lo = web.select(_batch_doc_id(0).alias("doc_id")).agg(
+        F.max("doc_id")
+    ).collect()[0][0]
+    assert lo < hi[0]  # batch-ordered: batch 0 ids below batch 2^20-1 ids
+    with _pytest.raises(ValueError, match="batch_bits"):
+        _batch_doc_id(1 << 20)
+    # the knob unlocks longer streams (on a fresh state root)
+    wide = web.select(
+        _batch_doc_id(1 << 20, batch_bits=24).alias("doc_id")
+    ).agg(F.max("doc_id")).collect()[0][0]
+    assert 0 < wide < (1 << 62)
