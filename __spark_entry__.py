@@ -56,6 +56,21 @@ _MOJIBAKE_CORRUPT_SQL = (
     "replace(replace(text, 'o', 'Ã¶'), 'e', 'Ã©')"
 )
 
+# fix_mojibake_deep fixture: one single-encoded and one DOUBLY-encoded
+# sequence (two UTF-8-as-cp1252 round trips, built by the shared
+# ops.mojibake.double_mojibake helper at import time — dialect-neutral
+# replace() text, identical in both engines)
+def _mojibake_deep_corrupt_sql() -> str:
+    from esmarc_spark.ops.mojibake import double_mojibake
+
+    return (
+        f"replace(replace(text, 'o', '{double_mojibake('ö')}'),"
+        " 'e', 'Ã©')"
+    )
+
+
+_MOJIBAKE_DEEP_CORRUPT_SQL = _mojibake_deep_corrupt_sql()
+
 # shared link-graph page synthesis, oracle side (mirrors _lg_pages)
 _LG_PAGES_SQL = """SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
      || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
@@ -770,6 +785,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hc(_lg_pages(spark, sf), iterations=4).orderBy("host")
 
+    def host_pagerank_incremental(spark, sf):
+        # round 7: per-dump link-graph state — the same pages committed
+        # as TWO dumps (doc_id parity) through ops.linkgraph_incremental
+        # must produce ranks byte-identical to one-shot PageRank over
+        # the union; the oracle is the SAME unrolled integer fixpoint
+        # the one-shot query uses, so a hash match proves the edge-delta
+        # merge + cold re-rank contract end to end
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.linkgraph_incremental import ingest_pages_dump
+
+        # parity split over doc_id (a pure function of the input table)
+        docs = _t(spark, sf, "documents")
+        even = _lg_pages(spark, sf).join(
+            docs.where(F.col("doc_id") % 2 == 0).select(
+                F.concat(
+                    F.lit("https://h"),
+                    F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+                    F.lit(".example/p/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url")
+            ),
+            "url",
+            "semi",
+        )
+        odd = _lg_pages(spark, sf).join(even, "url", "anti")
+        root = tempfile.mkdtemp(prefix="lgstate_")
+        try:
+            ingest_pages_dump(spark, even, root, "even", iterations=5)
+            ranks = ingest_pages_dump(spark, odd, root, "odd", iterations=5)
+            out = ranks.orderBy("host")
+            out = spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return out
+
     def host_triangles(spark, sf):
         # per-host triangle participation over the host graph —
         # degree-ordered orientation bounds the wedge fan-out at
@@ -888,6 +942,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fixer(corrupted).select("doc_id", "n_repaired", "text").orderBy(
             "doc_id"
         )
+
+    def fix_mojibake_deep(spark, sf):
+        # round 7: DOUBLY-encoded damage (two UTF-8-as-cp1252 round
+        # trips) synthesized in-query from the shared helper, repaired
+        # by the two-pass chain with per-pass counters; the oracle
+        # replays the identical chain through two nested subqueries
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.mojibake import fix_mojibake_deep as deep
+
+        corrupted = _t(spark, sf, "documents").select(
+            "doc_id", F.expr(_MOJIBAKE_DEEP_CORRUPT_SQL).alias("text")
+        )
+        return deep(corrupted).orderBy("doc_id")
 
     def dedup_exact_groups(spark, sf):
         from pyspark.sql import functions as F
@@ -1412,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": lm_perplexity,
         "bm25_search": bm25_search,
         "host_pagerank": host_pagerank,
+        "host_pagerank_incremental": host_pagerank_incremental,
         "host_communities": host_communities,
         "kg_disambiguated": kg_disambiguated,
         "kg_negative_samples": kg_negative_samples,
@@ -1420,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_clustering": host_clustering,
         "kg_sameas_canonical": kg_sameas_canonical,
         "fix_mojibake": fix_mojibake,
+        "fix_mojibake_deep": fix_mojibake_deep,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard": dedup_jaccard,
@@ -1704,6 +1774,9 @@ GROUP BY lang_guess ORDER BY lang_guess
         "host_pagerank": __import__(
             "esmarc_spark.ops.linkgraph", fromlist=["host_pagerank_sql"]
         ).host_pagerank_sql(_LG_PAGES_SQL, 5),
+        "host_pagerank_incremental": __import__(
+            "esmarc_spark.ops.linkgraph", fromlist=["host_pagerank_sql"]
+        ).host_pagerank_sql(_LG_PAGES_SQL, 5),
         "host_communities": __import__(
             "esmarc_spark.ops.linkgraph", fromlist=["host_communities_sql"]
         ).host_communities_sql(_LG_PAGES_SQL, 4),
@@ -1779,6 +1852,13 @@ FROM reach GROUP BY node ORDER BY uri
             )
             + " FROM documents ORDER BY doc_id"
         ),
+        "fix_mojibake_deep": __import__(
+            "esmarc_spark.ops.mojibake", fromlist=["fix_mojibake_deep_sql"]
+        ).fix_mojibake_deep_sql(
+            "SELECT doc_id, " + _MOJIBAKE_DEEP_CORRUPT_SQL
+            + " AS text FROM documents"
+        )
+        + " ORDER BY doc_id",
         "host_blocklist": __import__(
             "esmarc_spark.ops.urlnorm", fromlist=["host_blocklist_sql"]
         ).host_blocklist_sql(

@@ -157,12 +157,20 @@ def prepare_docs(
     if url_dedup:
         docs = dedup_by_url(docs)
     if mojibake_repair:
-        from esmarc_spark.ops.mojibake import repair_mojibake
+        from esmarc_spark.ops.mojibake import fix_mojibake_deep, repair_mojibake
 
         # 3a. encoding repair — BEFORE any content-based dedup/gating, so
         # repaired text can't split dup groups or skew repetition stats;
-        # map-only chained replace, no shuffle
-        docs = docs.withColumn("text", repair_mojibake("text"))
+        # map-only chained replace, no shuffle. True = one pass; an int
+        # >= 2 runs that many passes (fix_mojibake_deep — doubly-encoded
+        # crawl damage needs two; round 7, VERDICT r6 #3)
+        passes = 1 if mojibake_repair is True else int(mojibake_repair)
+        if passes <= 1:
+            docs = docs.withColumn("text", repair_mojibake("text"))
+        else:
+            docs = fix_mojibake_deep(docs, "text", passes=passes).drop(
+                *[f"n_repaired_p{k}" for k in range(1, passes + 1)]
+            )
     if dedup_lines_min_docs is not None:
         if not url_dedup:
             raise ValueError(

@@ -176,6 +176,29 @@ def test_prepare_docs_mojibake_repair_knob(spark):
     assert on["https://a.example/2"] == off["https://a.example/2"]  # untouched
 
 
+def test_prepare_docs_mojibake_repair_passes(spark):
+    """mojibake_repair=2 (round 7) peels DOUBLY-encoded damage; one pass
+    only reaches the single-encoded layer."""
+    import datetime as dt
+
+    from esmarc_spark.ops.mojibake import double_mojibake
+    from esmarc_spark.pipeline.run import prepare_docs
+
+    dbl = double_mojibake("é")
+    rows = [
+        ("https://a.example/1", dt.datetime(2024, 5, 1),
+         f"<p>caf{dbl} deep</p>".encode(), None, "en"),
+    ]
+    wt = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    one = prepare_docs(wt, mojibake_repair=True).collect()[0].text
+    two = prepare_docs(wt, mojibake_repair=2).collect()[0].text
+    assert "cafÃ©" in one and "café" in two
+    assert prepare_docs(wt, mojibake_repair=2).columns == prepare_docs(wt).columns
+
+
 def test_community_quality_rollup_drops_link_ring(spark):
     from esmarc_spark.ops.host_rollup import (
         community_quality_rollup,

@@ -1,0 +1,169 @@
+"""Incremental link-graph state (round 7 — VERDICT r6 #2): per-dump
+edge deltas + cold re-rank must be byte-identical to from-scratch over
+the concatenated dumps, replay-idempotent, and crash-safe; the
+exact-integer convergence stop must find a true fixpoint."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from esmarc_spark.ops.linkgraph import (
+    extract_outlinks,
+    host_pagerank,
+    pagerank,
+    pagerank_converge,
+)
+from esmarc_spark.ops.linkgraph_incremental import (
+    LinkGraphState,
+    authority_ranks,
+    ingest_pages_dump,
+)
+
+
+def _pages(spark, lo, hi, hosts=23):
+    """Deterministic synthetic pages: doc i on host i%hosts links to two
+    arithmetic neighbours — overlapping hosts across dumps, new hosts
+    appear as ``hosts`` grows."""
+    d = F.col("id")
+    url = F.concat(
+        F.lit("https://h"), F.pmod(d, F.lit(hosts)).cast("string"),
+        F.lit(".example/p/"), d.cast("string"),
+    )
+    html = F.concat(
+        F.lit('<a href="https://h'),
+        F.pmod(d * 7 + 3, F.lit(hosts)).cast("string"),
+        F.lit('.example/x">a</a><a href="https://h'),
+        F.pmod(d * 11 + 5, F.lit(hosts + 6)).cast("string"),
+        F.lit('.example/y">b</a>'),
+    )
+    return spark.range(lo, hi).select(url.alias("url"), html.alias("html"))
+
+
+def _rankmap(df):
+    return {r["host"]: r["rank_scaled"] for r in df.collect()}
+
+
+def test_incremental_equals_from_scratch_per_dump(spark, tmp_path):
+    root = str(tmp_path / "lg")
+    dumps = [(0, 40), (40, 90), (90, 140)]
+    seen = None
+    for n, (lo, hi) in enumerate(dumps):
+        got = ingest_pages_dump(spark, _pages(spark, lo, hi), root, f"d{n}")
+        seen = _pages(spark, 0, hi)
+        want = host_pagerank(seen, iterations=5)
+        assert _rankmap(got) == _rankmap(want), f"dump {n} diverged"
+    # the persisted dim is the same relation the gate will read
+    assert _rankmap(authority_ranks(spark, root)) == _rankmap(
+        host_pagerank(seen, iterations=5)
+    )
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    root = str(tmp_path / "lg")
+    ingest_pages_dump(spark, _pages(spark, 0, 40), root, "d0")
+    before = LinkGraphState(root).manifest()
+    again = ingest_pages_dump(spark, _pages(spark, 0, 40), root, "d0")
+    assert LinkGraphState(root).manifest() == before  # no recommit
+    assert _rankmap(again) == _rankmap(
+        host_pagerank(_pages(spark, 0, 40), iterations=5)
+    )
+
+
+def test_crash_orphan_edges_dir_is_healed(spark, tmp_path):
+    """A crash after the edge write but before the marker leaves an
+    orphan edges/dump=<id> dir (possibly from DIFFERENT input if the
+    upstream was fixed between runs); the deterministic rerun must
+    overwrite it and commit the true content."""
+    root = str(tmp_path / "lg")
+    ingest_pages_dump(spark, _pages(spark, 0, 40), root, "d0")
+    # orphan: wrong edges written under the next dump id, no marker
+    extract_outlinks(_pages(spark, 500, 520)).write.mode("overwrite").parquet(
+        f"{root}/edges/dump=d1"
+    )
+    assert LinkGraphState(root).manifest()["dumps"] == ["d0"]
+    got = ingest_pages_dump(spark, _pages(spark, 40, 90), root, "d1")
+    want = host_pagerank(_pages(spark, 0, 90), iterations=5)
+    assert _rankmap(got) == _rankmap(want)
+
+
+def test_vacuum_keeps_current_version(spark, tmp_path):
+    root = str(tmp_path / "lg")
+    ingest_pages_dump(spark, _pages(spark, 0, 40), root, "d0")
+    ingest_pages_dump(spark, _pages(spark, 40, 90), root, "d1")
+    st = LinkGraphState(root)
+    assert st.manifest()["ranks_version"] == 2
+    st.vacuum()
+    import pathlib
+
+    left = sorted(
+        p.name for p in pathlib.Path(root, "ranks").iterdir() if p.is_dir()
+    )
+    assert left == ["version=2"]
+    assert _rankmap(st.ranks(spark)) == _rankmap(
+        host_pagerank(_pages(spark, 0, 90), iterations=5)
+    )
+
+
+def test_state_feeds_prepare_docs_gate(spark, tmp_path):
+    """The verdict's wiring: the persisted authority dim gates
+    prepare_docs — hosts ranked below the floor are dropped before S1."""
+    from esmarc_spark.pipeline.run import prepare_docs
+
+    root = str(tmp_path / "lg")
+    # skewed graph: every page also links the h0 hub, so ranks separate
+    d = F.col("id")
+    hub_pages = spark.range(0, 200).select(
+        F.concat(
+            F.lit("https://h"), F.pmod(d, F.lit(11)).cast("string"),
+            F.lit(".example/p/"), d.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<a href="https://h0.example/">hub</a><a href="https://h'),
+            F.pmod(d * 7 + 3, F.lit(11)).cast("string"),
+            F.lit('.example/x">a</a>'),
+        ).alias("html"),
+    )
+    ranks = ingest_pages_dump(spark, hub_pages, root, "d0")
+    floor = max(r["rank_scaled"] for r in ranks.collect())
+    low_hosts = {
+        r["host"] for r in ranks.where(F.col("rank_scaled") < floor).collect()
+    }
+    assert low_hosts
+    web = hub_pages.withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(1700000000))
+    ).withColumn("html", F.encode("html", "UTF-8")).withColumn(
+        "text", F.lit(None).cast("string")
+    ).withColumn("lang", F.lit("en"))
+    kept = prepare_docs(
+        web,
+        host_ranks=authority_ranks(spark, root),
+        min_rank_scaled=floor,
+        keep_unranked=False,
+    )
+    from esmarc_spark.ops.urlnorm import host_of
+
+    kept_hosts = {
+        r["h"] for r in kept.select(host_of(F.col("url")).alias("h")).distinct().collect()
+    }
+    assert kept_hosts and not (kept_hosts & low_hosts)
+
+
+def test_pagerank_converge_finds_exact_fixpoint(spark):
+    """The early stop fires strictly before the budget on a small graph,
+    the result is a true fixpoint (more budget changes nothing), and the
+    fixed-budget contract run at the discovered round count reproduces
+    it bit-for-bit."""
+    edges = extract_outlinks(_pages(spark, 0, 120, hosts=17))
+    ranks, rounds = pagerank_converge(edges, max_iterations=80)
+    assert 0 < rounds < 80, rounds
+    fix = _rankmap(ranks)
+    assert fix == _rankmap(pagerank(edges, iterations=rounds))
+    assert fix == _rankmap(pagerank(edges, iterations=rounds + 3))
+
+
+def test_manifest_is_versioned_json(spark, tmp_path):
+    root = str(tmp_path / "lg")
+    ingest_pages_dump(spark, _pages(spark, 0, 30), root, "2024-01")
+    raw = json.loads(open(f"{root}/_STATE").read())
+    assert raw == {"dumps": ["2024-01"], "ranks_version": 1}
