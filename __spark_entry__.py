@@ -71,6 +71,12 @@ def _mojibake_deep_corrupt_sql() -> str:
 
 _MOJIBAKE_DEEP_CORRUPT_SQL = _mojibake_deep_corrupt_sql()
 
+# graph_gated_docs fixture: the spam text planted on ring hosts (scores
+# 0.5 under ops.text.quality_score vs the corpus mean 0.80)
+_GRAPH_GATE_SPAM = (
+    "buy cheap buy cheap buy cheap click here click here $$$ !!!"
+)
+
 # shared link-graph page synthesis, oracle side (mirrors _lg_pages)
 _LG_PAGES_SQL = """SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
      || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
@@ -894,6 +900,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return community_quality_rollup(docs, comm).orderBy("community")
 
+    def graph_gated_docs(spark, sf):
+        # round-7 capstone COMPOSITION (VERDICT r6 #4): organic edges
+        # from the shared page synthesis + an injected link FARM (20
+        # satellites starring farmhub — degree without closure) + an
+        # injected link RING (q0..q5 densely interlinked, spam docs —
+        # closure without quality); graph build -> PageRank + clustering
+        # coefficient + LPA communities -> community-quality rollup ->
+        # one keep/drop verdict per document host. The oracle chains the
+        # five component SQL generators stage into stage.
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.graph_gate import graph_gate_hosts
+        from esmarc_spark.ops.linkgraph import extract_outlinks
+
+        d = F.col("doc_id")
+        docs_tbl = _t(spark, sf, "documents")
+        base_edges = extract_outlinks(_lg_pages(spark, sf))
+        farm = docs_tbl.where(d % 5 == 0).select(
+            # (doc_id/5) % 20, NOT doc_id % 20: the %5 selection leaves
+            # only 4 residues mod 20 — the quotient covers all 20
+            # satellites so the farm actually exceeds farm_min_deg
+            F.concat(F.lit("f"),
+                     F.pmod((d / 5).cast("long"), F.lit(20)).cast("string"),
+                     F.lit(".example")).alias("src"),
+            F.lit("farmhub.example").alias("dst"),
+        )
+        ring = docs_tbl.where(d % 7 == 0).select(
+            F.concat(F.lit("q"), F.pmod(d, F.lit(6)).cast("string"),
+                     F.lit(".example")).alias("src"),
+            F.concat(F.lit("q"), F.pmod(d * 3 + 1, F.lit(6)).cast("string"),
+                     F.lit(".example")).alias("dst"),
+        )
+        edges = base_edges.unionByName(farm).unionByName(ring)
+        host = (
+            F.when(d % 11 == 0,
+                   F.concat(F.lit("q"), F.pmod(d, F.lit(6)).cast("string"),
+                            F.lit(".example")))
+            .when(d % 13 == 0, F.lit("farmhub.example"))
+            .otherwise(
+                F.concat(F.lit("h"), F.pmod(d, F.lit(97)).cast("string"),
+                         F.lit(".example"))
+            )
+        )
+        text = F.when(
+            d % 11 == 0, F.lit(_GRAPH_GATE_SPAM)
+        ).otherwise(F.col("text"))
+        docs = docs_tbl.select(host.alias("host"), text.alias("text"))
+        return graph_gate_hosts(
+            docs, edges, farm_min_deg=8, min_community_quality=0.6
+        ).orderBy("host")
+
     def kg_negative_samples(spark, sf):
         # TransE-style training negatives over the mentions edges:
         # portable-md5 candidate draws against a two-level dense entity
@@ -1484,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_communities": host_communities,
         "kg_disambiguated": kg_disambiguated,
         "kg_negative_samples": kg_negative_samples,
+        "graph_gated_docs": graph_gated_docs,
         "community_quality": community_quality,
         "host_triangles": host_triangles,
         "host_clustering": host_clustering,
@@ -1780,6 +1838,30 @@ GROUP BY lang_guess ORDER BY lang_guess
         "host_communities": __import__(
             "esmarc_spark.ops.linkgraph", fromlist=["host_communities_sql"]
         ).host_communities_sql(_LG_PAGES_SQL, 4),
+        "graph_gated_docs": __import__(
+            "esmarc_spark.ops.graph_gate", fromlist=["graph_gate_hosts_sql"]
+        ).graph_gate_hosts_sql(
+            "SELECT CASE WHEN doc_id % 11 = 0"
+            " THEN 'q' || CAST(doc_id % 6 AS VARCHAR) || '.example'"
+            " WHEN doc_id % 13 = 0 THEN 'farmhub.example'"
+            " ELSE 'h' || CAST(doc_id % 97 AS VARCHAR) || '.example' END"
+            " AS host,"
+            f" CASE WHEN doc_id % 11 = 0 THEN '{_GRAPH_GATE_SPAM}'"
+            " ELSE text END AS text FROM documents",
+            __import__(
+                "esmarc_spark.ops.linkgraph", fromlist=["outlinks_sql"]
+            ).outlinks_sql(_LG_PAGES_SQL)
+            + " UNION ALL SELECT 'f' || CAST((doc_id // 5) % 20 AS VARCHAR)"
+            " || '.example' AS src, 'farmhub.example' AS dst"
+            " FROM documents WHERE doc_id % 5 = 0"
+            " UNION ALL SELECT 'q' || CAST(doc_id % 6 AS VARCHAR)"
+            " || '.example' AS src,"
+            " 'q' || CAST((doc_id * 3 + 1) % 6 AS VARCHAR) || '.example'"
+            " AS dst FROM documents WHERE doc_id % 7 = 0",
+            farm_min_deg=8,
+            min_community_quality=0.6,
+        )
+        + " ORDER BY host",
         "community_quality": __import__(
             "esmarc_spark.ops.host_rollup",
             fromlist=["community_quality_rollup_sql"],
