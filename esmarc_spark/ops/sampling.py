@@ -59,6 +59,154 @@ def sample_stratified(
     return df.where(_portable_bucket(F.col(key), salt) < rate)
 
 
+def _fdiv(a: Column, b: Column) -> Column:
+    """Exact floor division for non-negative int64 (the linkgraph
+    recipe: subtract the remainder first, so the double division is of
+    an exact multiple)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def temperature_weights(
+    counts: dict[str, int], temperature: float
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights w_s = n_s^(1/T): T=1 keeps the
+    natural mix, T->inf goes uniform (the multilingual-sampling recipe)."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    return {s: float(n) ** (1.0 / temperature) for s, n in counts.items()}
+
+
+def source_mix_rates(
+    counts: dict[str, int],
+    weights: dict[str, float],
+    target_total: int,
+) -> dict[str, float]:
+    """Per-source keep-fractions hitting ``target_total`` rows in
+    expectation at mixture proportions ``weights`` (any positive
+    relative weights; missing sources get 0). Rates are floored to ppm
+    ints then returned as exact fractions, and capped at 1.0 — an
+    underrepresented source cannot be oversampled by filtering; repeat
+    epochs downstream handle that (documented, standard practice).
+
+    Pure Python over the bounded per-source count dim; the result is
+    the mixing table both engines share (the ``sample_stratified``
+    single-source-of-truth contract), which keeps cross-engine parity
+    independent of float ``pow`` behavior."""
+    wsum = sum(weights.get(s, 0.0) for s in counts)
+    if wsum <= 0:
+        raise ValueError("weights must have positive mass on the sources")
+    out = {}
+    for s, n in counts.items():
+        target_s = target_total * weights.get(s, 0.0) / wsum
+        out[s] = min(_DENOM, int(target_s * _DENOM / n)) / _DENOM if n else 0.0
+    return out
+
+
+def sample_source_mix(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    weights: dict[str, float],
+    target_total: int,
+    salt: str = "",
+) -> DataFrame:
+    """Source-mixing resample with EXPLICIT weights: collect the
+    per-source counts (a bounded dim — #sources, not #rows), derive ppm
+    rates via :func:`source_mix_rates`, then hash-threshold membership
+    (identical rows in any engine/partitioning). The pytest parity
+    oracle feeds ``sample_stratified_sql`` the same rate table."""
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = source_mix_rates(counts, weights, target_total)
+    return sample_stratified(df, key, source_col, rates, 0.0, salt)
+
+
+def sample_by_sqrt_temperature(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    target_total: int,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-2 source mixing (w_s = sqrt(n_s) — the standard
+    "dampen the head, lift the tail" multilingual mix), computed fully
+    IN-ENGINE with no driver collect: counts are a groupBy dim, the
+    weight total attaches via a broadcast one-row crossJoin, per-source
+    ppm rates are exact integer floors, and membership is the portable
+    hash threshold.
+
+    Why sqrt and not pow(n, 1/T): IEEE-754 requires sqrt (and +,-,*,/)
+    to be correctly rounded, so every engine computes bit-identical
+    weights from the same counts — ``pow`` carries no such guarantee,
+    which is why the general-T path (:func:`sample_source_mix`) shares
+    a Python-computed rate table instead. This variant is the one whose
+    DuckDB oracle recomputes everything from the raw table.
+
+    Integer magnitudes: w = floor(sqrt(n)*1000) <= 1e9 for n <= 1e12;
+    num = 1e6 * target_total * w stays under 2^63 for targets <= ~9e12.
+    den = W * n_s can overflow int64 once sum-of-weights * max-source
+    exceeds ~9e18 (≈ 10^5 sources of 10^12 docs) — cast the den pair
+    through decimal(38,0) before going there."""
+    counts = df.groupBy(F.col(source_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = counts.withColumn(
+        "__w",
+        F.floor(F.sqrt(F.col("__n").cast("double")) * 1000).cast("long"),
+    )
+    # NB: Spark resolution is case-insensitive — the total must not be
+    # spelled "__W" or it collides with "__w"
+    tot = w.agg(F.sum("__w").cast("long").alias("__wtot"))
+    num = F.lit(_DENOM).cast("long") * F.lit(int(target_total)) * F.col("__w")
+    den = F.col("__wtot") * F.col("__n")
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "__s",
+            F.least(F.lit(_DENOM).cast("long"), _fdiv(num, den)).alias(
+                "__rate_ppm"
+            ),
+        )
+    )
+    joined = df.join(
+        F.broadcast(rates), df[source_col] == rates["__s"]
+    ).where(_portable_bucket(F.col(key), salt) < F.col("__rate_ppm"))
+    return joined.select(*[df[c] for c in df.columns])
+
+
+def sample_by_sqrt_temperature_sql(
+    source_select: str,
+    key: str,
+    source_col: str,
+    target_total: int,
+    salt: str = "",
+) -> str:
+    """DuckDB oracle for :func:`sample_by_sqrt_temperature`: recomputes
+    counts -> sqrt weights -> exact integer rates -> hash membership
+    from the raw relation (sqrt / * / floor all correctly rounded, integer
+    sums order-free — bit-identical to the Spark side)."""
+    num = f"({_DENOM} * {int(target_total)} * wi)"
+    den = "(W * n)"
+    return f"""
+WITH _src AS ({source_select}),
+_cnt AS (SELECT {source_col} AS s, COUNT(*) AS n FROM _src GROUP BY 1),
+_w AS (SELECT s, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS wi
+       FROM _cnt),
+_tot AS (SELECT CAST(SUM(wi) AS BIGINT) AS W FROM _w),
+_r AS (SELECT s,
+              least({_DENOM}, CAST(({num} - {num} % {den}) / {den} AS BIGINT))
+                AS rate_ppm
+       FROM _w, _tot)
+SELECT _src.* FROM _src JOIN _r ON _r.s = _src.{source_col}
+WHERE {_bucket_sql(key, salt)} < _r.rate_ppm
+"""
+
+
 def _bucket_sql(key: str, salt: str) -> str:
     return (
         f"(cast('0x' || substr(md5(cast({key} AS varchar) || '{salt}'), 1, 15)"

@@ -121,3 +121,18 @@ def test_chunk_bpe_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents_bpe(df, chunk_tokens=4, overlap=4)
+
+
+def test_golden_chunks_regenerate_byte_identical(tmp_path):
+    out = tmp_path / "bpe_chunks.ldj"
+    subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts" / "regen_golden_bpe_chunks.py"),
+            str(out),
+        ],
+        check=True,
+        cwd=REPO,
+    )
+    golden = REPO / "tests" / "golden" / "bpe_chunks.ldj"
+    assert out.read_bytes() == golden.read_bytes()
