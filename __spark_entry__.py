@@ -1562,6 +1562,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = spark.createDataFrame(rows, "record_id string, marc_json string")
         return df.mapInPandas(triples_batches, schema=TRIPLES_SCHEMA)
 
+    def split_assignments(spark, sf):
+        # round 7: deterministic train/val/test split — the label is a
+        # pure function of hash(doc_id, salt), so resharding, re-runs,
+        # and appends never move a row across splits (eval can't leak
+        # into train); both engines assign IDENTICAL labels
+        from esmarc_spark.ops.sampling import assign_split
+
+        return assign_split(
+            _t(spark, sf, "documents").select("doc_id", "n_chars"),
+            "doc_id",
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            salt="split-v1",
+        ).orderBy("doc_id")
+
+    def host_token_budget(spark, sf):
+        # round 7: FineWeb-style per-host token cap — each host keeps
+        # its best documents (exact-int quality order) until the token
+        # budget is hit; the window sorts one host at a time, never the
+        # corpus
+        from esmarc_spark.ops.packing import cap_host_tokens
+
+        return cap_host_tokens(
+            _t(spark, sf, "documents"), budget=800
+        ).orderBy("host", "doc_id")
+
+    def url_revisit_diff(spark, sf):
+        # round 7: cross-dump revisit classification over three
+        # synthetic dumps of the same url space (membership and content
+        # churn decided by doc_id arithmetic, identical in both
+        # engines): dump2 drops every 3rd url and updates every 4th,
+        # dump3 keeps even urls and updates every 8th again — covers
+        # new/changed/unchanged and a changed-vs-skipped-dump case
+        from esmarc_spark.ops.revisits import classify_revisits
+
+        docs = _t(spark, sf, "documents")
+        url = (
+            "'https://h' || CAST(doc_id % 97 AS string) ||"
+            " '.example/p' || CAST(doc_id AS string) AS url"
+        )
+        upd4 = "CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END"
+        upd8 = "CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END"
+        d1 = docs.selectExpr(url, "'2024-01-01' AS pday", "text")
+        d2 = docs.where("doc_id % 3 != 0").selectExpr(
+            url, "'2024-02-01' AS pday", f"text || repeat(' upd', {upd4}) AS text"
+        )
+        d3 = docs.where("doc_id % 2 = 0").selectExpr(
+            url,
+            "'2024-03-01' AS pday",
+            f"text || repeat(' upd', ({upd4}) + ({upd8})) AS text",
+        )
+        snaps = d1.unionByName(d2).unionByName(d3)
+        return classify_revisits(snaps).orderBy("url", "pday")
+
+    def bpe_pair_counts(spark, sf):
+        # round 7: BPE tokenizer TRAINING statistics — corpus word
+        # counts (the only corpus-sized aggregation; output bounded by
+        # vocabulary) -> adjacent symbol-pair frequencies -> top-20
+        # (count desc, pair asc); ops.bpe_train.train_merges iterates
+        # this exact aggregation with a 1-row argmax per round
+        from esmarc_spark.ops.bpe_train import pair_counts, word_counts
+
+        return pair_counts(word_counts(_t(spark, sf, "documents")), top=20)
+
+    def corpus_quantiles(spark, sf):
+        # round 7: exact discrete quantiles (percentile_disc) of doc
+        # length per language — integer-only thresholds so the result
+        # hash-matches at any parallelism; the full-data shuffle is a
+        # partial-agged (lang, value) count, bounded by value
+        # cardinality
+        from esmarc_spark.ops.stats import exact_quantiles
+
+        return exact_quantiles(
+            _t(spark, sf, "documents"), "n_chars", "lang"
+        ).orderBy("lang", "q_permyriad")
+
     # DICT ORDER IS THE VERIFICATION WINDOW (round 7 — VERDICT r6 #1):
     # the driver's correctness gate checks the FIRST 50 entries, so the
     # ordering policy is: (1) queries new this round, (2) queries that
@@ -1576,6 +1651,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gated_docs": graph_gated_docs,
         "sample_temperature_mix": sample_temperature_mix,
         "bpe_chunk_shards": bpe_chunk_shards,
+        "split_assignments": split_assignments,
+        "host_token_budget": host_token_budget,
+        "url_revisit_diff": url_revisit_diff,
+        "corpus_quantiles": corpus_quantiles,
+        "bpe_pair_counts": bpe_pair_counts,
         # -- (2) never driver-checked before round 7 ---------------------
         "host_clustering": host_clustering,
         "kg_sameas_canonical": kg_sameas_canonical,
@@ -1619,13 +1699,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": token_counts_bpe,
         "dsir_sample": dsir_sample,
         "semdedup_prune": semdedup_prune,
+        # ---- driver window boundary (entry 50 above) -------------------
         "decontaminate_exact_ngrams": decontaminate_exact_ngrams,
+        # -- long-stable tail: many green rows since rounds 1-5 ----------
         "badwords_gate": badwords_gate,
         "host_quality_rollup": host_quality_rollup,
         "token_shards": token_shards,
         "host_blocklist": host_blocklist,
-        # ---- driver window boundary (entry 50 above) -------------------
-        # -- long-stable tail: many green rows since rounds 1-5 ----------
         "kg_mentions": kg_mentions,
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -1957,6 +2037,53 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "split_assignments": __import__(
+            "esmarc_spark.ops.sampling", fromlist=["assign_split_sql"]
+        ).assign_split_sql(
+            "SELECT doc_id, n_chars FROM documents",
+            "doc_id",
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            salt="split-v1",
+        )
+        + " ORDER BY doc_id",
+        "host_token_budget": __import__(
+            "esmarc_spark.ops.packing", fromlist=["cap_host_tokens_sql"]
+        ).cap_host_tokens_sql(
+            "SELECT source, doc_id, text FROM documents", 800
+        )
+        + " ORDER BY host, doc_id",
+        "url_revisit_diff": __import__(
+            "esmarc_spark.ops.revisits", fromlist=["classify_revisits_sql"]
+        ).classify_revisits_sql(
+            "SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR) ||"
+            " '.example/p' || CAST(doc_id AS VARCHAR) AS url,"
+            " '2024-01-01' AS pday, text FROM documents"
+            " UNION ALL"
+            " SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR) ||"
+            " '.example/p' || CAST(doc_id AS VARCHAR) AS url,"
+            " '2024-02-01' AS pday,"
+            " text || repeat(' upd',"
+            " CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS text"
+            " FROM documents WHERE doc_id % 3 != 0"
+            " UNION ALL"
+            " SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR) ||"
+            " '.example/p' || CAST(doc_id AS VARCHAR) AS url,"
+            " '2024-03-01' AS pday,"
+            " text || repeat(' upd',"
+            " (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)"
+            " + (CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END)) AS text"
+            " FROM documents WHERE doc_id % 2 = 0"
+        )
+        + " ORDER BY url, pday",
+        "corpus_quantiles": __import__(
+            "esmarc_spark.ops.stats", fromlist=["exact_quantiles_sql"]
+        ).exact_quantiles_sql(
+            "SELECT lang, n_chars FROM documents", "n_chars", "lang"
+        )
+        + " ORDER BY lang, q_permyriad",
+        "bpe_pair_counts": __import__(
+            "esmarc_spark.ops.bpe_train", fromlist=["pair_counts_sql"]
+        ).pair_counts_sql("SELECT text FROM documents", 20),
         "graph_gated_docs": __import__(
             "esmarc_spark.ops.graph_gate", fromlist=["graph_gate_hosts_sql"]
         ).graph_gate_hosts_sql(

@@ -117,3 +117,86 @@ SELECT doc_id, n_tokens, tokens_before,
        CAST((tokens_before - tokens_before % {budget}) / {budget} AS BIGINT) AS shard
 FROM _c
 """
+
+
+# ---------------------------------------------------------------------------
+# per-host contribution caps
+# ---------------------------------------------------------------------------
+
+
+def cap_host_tokens(
+    documents: DataFrame,
+    budget: int,
+    host_col: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Cap each host's contribution to the training mix at ``budget``
+    tokens, keeping its BEST documents first (FineWeb-style domain
+    balancing: without a cap, a handful of mega-hosts dominate the
+    token mass even after per-doc quality gates).
+
+    Per host: rank documents by quality (exact 1e6-scaled integer, the
+    ``ops.host_rollup`` parity recipe) descending, doc_id ascending as
+    the total tie-break; keep a document iff the tokens kept before it
+    are still under budget (so the cap may overrun by at most one
+    document, matching ``assign_token_shards`` semantics — documents
+    are never split here).
+
+    Scale shape: the only shuffle keys on the host; each window sorts
+    one host's docs. Post-curation host fan-out is bounded (~10^5-10^6
+    docs for the largest hosts), and a pathological host can be
+    pre-trimmed by composing ``ops.host_rollup.gate_hosts_by_quality``
+    or a per-(host, hash-bucket) pre-cap upstream; ordering by quality
+    makes the cumulative sum inherently per-host-sequential, so a
+    two-level prefix decomposition would still need the per-host sort.
+    All ranking and accumulation is int64, bit-identical at any
+    parallelism and in the oracle."""
+    from esmarc_spark.ops.text import quality_score, token_count
+
+    q6 = F.round(quality_score(text) * 1e6).cast("long")
+    d = documents.select(
+        F.col(host_col).alias("host"),
+        "doc_id",
+        q6.alias("q6"),
+        token_count(text).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy(F.col("q6").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn(
+            "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .where(F.col("tokens_before") < budget)
+        .select("host", "doc_id", "q6", "n_tokens", "tokens_before")
+    )
+
+
+def cap_host_tokens_sql(
+    docs_select: str, budget: int, host_col: str = "source"
+) -> str:
+    """DuckDB oracle: identical quality-ordered windowed cumsum per
+    host (quality/token SQL shared from ``ops.text``)."""
+    from esmarc_spark.ops.text import QUALITY_SCORE_SQL, TOKEN_COUNT_SQL
+
+    return f"""
+WITH _d AS ({docs_select}),
+_q AS (
+  SELECT {host_col} AS host, doc_id,
+         CAST(round({QUALITY_SCORE_SQL} * 1e6) AS BIGINT) AS q6,
+         CAST({TOKEN_COUNT_SQL} AS BIGINT) AS n_tokens
+  FROM _d
+),
+_c AS (
+  SELECT host, doc_id, q6, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY host ORDER BY q6 DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM _q
+)
+SELECT host, doc_id, q6, n_tokens, tokens_before
+FROM _c WHERE tokens_before < {budget}
+"""

@@ -232,3 +232,62 @@ def sample_stratified_sql(
 SELECT * FROM ({source_select})
 WHERE {_bucket_sql(key, salt)} < {rate}
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset splits
+# ---------------------------------------------------------------------------
+
+
+def _split_cuts(ratios: dict[str, float]) -> tuple[list[str], list[int]]:
+    """Shared cut-point table (single source of truth for both engines):
+    cumulative ppm thresholds in dict order; the LAST split absorbs the
+    <1 ppm rounding remainder so every bucket is assigned."""
+    if len(ratios) < 2:
+        raise ValueError("need at least two splits")
+    if abs(sum(ratios.values()) - 1.0) > 1e-9:
+        raise ValueError("split ratios must sum to 1")
+    names, cuts, acc = [], [], 0.0
+    for name, frac in ratios.items():
+        if frac <= 0:
+            raise ValueError(f"split {name!r} has non-positive ratio")
+        acc += frac
+        names.append(name)
+        cuts.append(int(round(acc * _DENOM)))
+    cuts[-1] = _DENOM
+    return names, cuts
+
+
+def assign_split(
+    df: DataFrame, key: str, ratios: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Train/val/test assignment as a pure function of hash(key, salt):
+    a ``split`` column from cumulative hash-bucket cut points. Because
+    membership depends on the row alone, the split is stable under
+    resharding, re-runs, appends (new rows land in splits without
+    moving old ones), and engines — eval rows can never leak into
+    training when the corpus is re-partitioned, which is the property
+    random splits lose. Map-only; the reference has no splitter (its
+    corpora are whole-dump), this is training-pipeline surface."""
+    names, cuts = _split_cuts(ratios)
+    bucket = _portable_bucket(F.col(key), salt)
+    col = F.when(bucket < cuts[0], F.lit(names[0]))
+    for name, cut in zip(names[1:-1], cuts[1:-1]):
+        col = col.when(bucket < cut, F.lit(name))
+    return df.withColumn("split", col.otherwise(F.lit(names[-1])))
+
+
+def assign_split_sql(
+    source_select: str, key: str, ratios: dict[str, float], salt: str = ""
+) -> str:
+    """DuckDB oracle: the identical cut-point CASE over the portable
+    hash (cut table shared via :func:`_split_cuts`)."""
+    names, cuts = _split_cuts(ratios)
+    whens = " ".join(
+        f"WHEN {_bucket_sql(key, salt)} < {cut} THEN '{name}'"
+        for name, cut in zip(names[:-1], cuts[:-1])
+    )
+    return f"""
+SELECT *, CASE {whens} ELSE '{names[-1]}' END AS split
+FROM ({source_select})
+"""

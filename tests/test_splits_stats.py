@@ -1,0 +1,270 @@
+"""Round-7 additions: deterministic splits, per-host token caps,
+cross-dump revisit classification, exact distributed quantiles."""
+
+import duckdb
+import pytest
+
+
+def _docs(spark, n=200, parts=7):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .repartition(parts)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), F.pmod("id", F.lit(5)).cast("string")).alias(
+                "source"
+            ),
+            F.concat(
+                F.lit("the quick value "),
+                F.lit("tok "),
+                F.pmod("id", F.lit(13)).cast("string"),
+                F.lit(" and some more words here to pass the gates x"),
+                F.pmod("id", F.lit(7)).cast("string"),
+            ).alias("text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# assign_split
+# ---------------------------------------------------------------------------
+
+
+def test_assign_split_partition_invariant_and_total(spark):
+    from esmarc_spark.ops.sampling import assign_split
+
+    df = _docs(spark, 500)
+    a = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(
+            df.repartition(31), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b
+    assert len(a) == 500  # every row labeled, none dropped
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 300  # ~400 expected; loose band
+    assert counts["val"] + counts["test"] < 200
+
+
+def test_assign_split_append_stability(spark):
+    # rows keep their split when the corpus grows — the anti-leak property
+    from esmarc_spark.ops.sampling import assign_split
+
+    ratios = {"train": 0.9, "val": 0.05, "test": 0.05}
+    small = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(_docs(spark, 100), "doc_id", ratios).collect()
+    }
+    big = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(_docs(spark, 300), "doc_id", ratios).collect()
+    }
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_assign_split_validates_ratios(spark):
+    from esmarc_spark.ops.sampling import assign_split
+
+    df = _docs(spark, 10)
+    with pytest.raises(ValueError):
+        assign_split(df, "doc_id", {"train": 0.5, "val": 0.4})
+    with pytest.raises(ValueError):
+        assign_split(df, "doc_id", {"train": 1.0})
+    with pytest.raises(ValueError):
+        assign_split(df, "doc_id", {"train": 1.1, "val": -0.1})
+
+
+def test_assign_split_duckdb_parity(spark):
+    from esmarc_spark.ops.sampling import assign_split, assign_split_sql
+
+    ratios = {"train": 0.7, "val": 0.2, "test": 0.1}
+    df = _docs(spark, 150)
+    got = sorted(
+        (r["doc_id"], r["split"])
+        for r in assign_split(df, "doc_id", ratios, salt="s9").collect()
+    )
+    pdf = df.select("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("d", pdf)
+    want = sorted(
+        con.sql(
+            assign_split_sql("SELECT doc_id FROM d", "doc_id", ratios, salt="s9")
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# cap_host_tokens
+# ---------------------------------------------------------------------------
+
+
+def test_cap_host_tokens_budget_and_order(spark):
+    from esmarc_spark.ops.packing import cap_host_tokens
+    from esmarc_spark.ops.text import quality_score, token_count
+
+    docs = _docs(spark, 200)
+    budget = 120
+    kept = cap_host_tokens(docs, budget=budget).collect()
+    all_rows = docs.select(
+        "source",
+        "doc_id",
+        (quality_score("text") * 1e6).cast("long").alias("q6"),
+        token_count("text").alias("n_tokens"),
+    ).collect()
+    by_host = {}
+    for r in all_rows:
+        by_host.setdefault(r["source"], []).append(r)
+    kept_by_host = {}
+    for r in kept:
+        kept_by_host.setdefault(r["host"], []).append(r)
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: (-r["q6"], r["doc_id"]))
+        # sequential reference: keep while tokens_before < budget
+        want, acc = [], 0
+        for r in rows:
+            if acc < budget:
+                want.append(r["doc_id"])
+            acc += r["n_tokens"]
+        got = sorted(k["doc_id"] for k in kept_by_host.get(host, []))
+        assert got == sorted(want), host
+        # the cap overruns by at most one document
+        got_tokens = sum(k["n_tokens"] for k in kept_by_host.get(host, []))
+        max_doc = max(r["n_tokens"] for r in rows)
+        assert got_tokens < budget + max_doc
+
+
+def test_cap_host_tokens_partition_invariant(spark):
+    from esmarc_spark.ops.packing import cap_host_tokens
+
+    docs = _docs(spark, 200)
+    a = sorted(map(tuple, cap_host_tokens(docs, 150).collect()))
+    b = sorted(map(tuple, cap_host_tokens(docs.repartition(17), 150).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# classify_revisits
+# ---------------------------------------------------------------------------
+
+
+def test_classify_revisits_statuses(spark):
+    from esmarc_spark.ops.revisits import classify_revisits, refresh_set
+
+    rows = [
+        ("u1", "d1", "alpha"),
+        ("u1", "d2", "alpha"),       # unchanged
+        ("u1", "d3", "alpha v2"),    # changed, latest
+        ("u2", "d1", "beta"),        # new, latest (never refetched)
+        ("u3", "d2", "gamma"),       # new
+        ("u3", "d3", "gamma"),       # unchanged, latest
+    ]
+    snaps = spark.createDataFrame(rows, "url string, pday string, text string")
+    got = {
+        (r["url"], r["pday"]): (r["status"], r["is_latest"])
+        for r in classify_revisits(snaps).collect()
+    }
+    assert got == {
+        ("u1", "d1"): ("new", False),
+        ("u1", "d2"): ("unchanged", False),
+        ("u1", "d3"): ("changed", True),
+        ("u2", "d1"): ("new", True),
+        ("u3", "d2"): ("new", False),
+        ("u3", "d3"): ("unchanged", True),
+    }
+    work = {(r["url"], r["pday"]) for r in refresh_set(snaps).collect()}
+    # unchanged-latest urls cost zero downstream work
+    assert work == {("u1", "d3"), ("u2", "d1")}
+
+
+def test_classify_revisits_duckdb_parity(spark):
+    from esmarc_spark.ops.revisits import classify_revisits, classify_revisits_sql
+
+    from pyspark.sql import functions as F
+
+    base = _docs(spark, 80)
+    snaps = base.selectExpr(
+        "'u' || CAST(doc_id % 23 AS string) AS url",
+        "'d' || CAST(doc_id % 3 AS string) AS pday",
+        "text",
+    ).dropDuplicates(["url", "pday"])
+    got = sorted(map(tuple, classify_revisits(snaps).collect()))
+    con = duckdb.connect()
+    con.register("s", snaps.toPandas())
+    want = sorted(
+        tuple(r) for r in con.sql(
+            classify_revisits_sql("SELECT * FROM s")
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles
+# ---------------------------------------------------------------------------
+
+
+def _disc_quantile(sorted_vals, q_permyriad):
+    import math
+
+    n = len(sorted_vals)
+    rank = math.ceil(n * q_permyriad / 10000)
+    return sorted_vals[max(rank, 1) - 1]
+
+
+def test_exact_quantiles_matches_definition(spark):
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.stats import exact_quantiles
+
+    df = (
+        spark.range(1000)
+        .repartition(13)
+        .select(
+            F.concat(F.lit("g"), F.pmod("id", F.lit(3)).cast("string")).alias("g"),
+            # deterministic pseudo-random value with ties
+            F.pmod(F.col("id") * 7919, F.lit(97)).alias("v"),
+        )
+    )
+    got = {
+        (r["g"], r["q_permyriad"]): r["value"]
+        for r in exact_quantiles(df, "v", "g").collect()
+    }
+    rows = df.collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["g"], []).append(r["v"])
+    for g, vals in groups.items():
+        vals.sort()
+        for q in (2500, 5000, 7500, 9000, 9900):
+            assert got[(g, q)] == _disc_quantile(vals, q), (g, q)
+
+
+def test_exact_quantiles_partition_invariant_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.stats import exact_quantiles
+
+    df = spark.range(500).select(
+        F.lit("all").alias("g"),
+        F.when(F.pmod("id", F.lit(10)) == 0, None)
+        .otherwise(F.pmod(F.col("id") * 31, F.lit(1000)))
+        .alias("v"),
+    )
+    a = sorted(map(tuple, exact_quantiles(df, "v", "g").collect()))
+    b = sorted(map(tuple, exact_quantiles(df.repartition(29), "v", "g").collect()))
+    assert a == b
+    vals = sorted(r["v"] for r in df.collect() if r["v"] is not None)
+    got = dict(((r[0], r[1]), r[2]) for r in a)
+    assert got[("all", 5000)] == _disc_quantile(vals, 5000)
+    assert got[("all", 9900)] == _disc_quantile(vals, 9900)
