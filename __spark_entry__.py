@@ -662,6 +662,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "bench_id"
         )
 
+    def contamination_fractions(spark, sf):
+        # round 7: per-doc contamination FRACTION (share of a doc's
+        # distinct 13-grams appearing anywhere in the benchmark set) —
+        # exact permyriad integer so both engines hash-match; same
+        # every-25th-doc benchmark split as decontaminate_exact_ngrams
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.decontaminate import contamination_fraction
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        bench = docs.where(F.pmod("doc_id", F.lit(25)) == 0)
+        return contamination_fraction(docs, bench, n=13).orderBy("doc_id")
+
     def host_blocklist(spark, sf):
         # subdomain-inclusive host blocklisting via exploded dot-suffix
         # equi-join; urls synthesized deterministically from doc_id
@@ -1576,6 +1589,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             salt="split-v1",
         ).orderBy("doc_id")
 
+    def leakage_safe_splits(spark, sf):
+        # round 7: near-dup-cluster-consistent split — every document
+        # hashes its dedup-cluster id (min doc_id over the connected
+        # component of the LSH+Jaccard edge graph), so template variants
+        # can never straddle train and eval; Spark CC = star
+        # contraction, oracle CC = RECURSIVE transitive-closure CTE
+        from esmarc_spark.ops.sampling import assign_split_leakage_safe
+
+        return (
+            assign_split_leakage_safe(
+                _t(spark, sf, "documents"),
+                {"train": 0.9, "val": 0.05, "test": 0.05},
+                salt="split-v1",
+            )
+            .select("doc_id", "root_id", "split")
+            .orderBy("doc_id")
+        )
+
     def host_token_budget(spark, sf):
         # round 7: FineWeb-style per-host token cap — each host keeps
         # its best documents (exact-int quality order) until the token
@@ -1652,6 +1683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature_mix": sample_temperature_mix,
         "bpe_chunk_shards": bpe_chunk_shards,
         "split_assignments": split_assignments,
+        "leakage_safe_splits": leakage_safe_splits,
+        "contamination_fractions": contamination_fractions,
         "host_token_budget": host_token_budget,
         "url_revisit_diff": url_revisit_diff,
         "corpus_quantiles": corpus_quantiles,
@@ -1995,6 +2028,14 @@ GROUP BY lang_guess ORDER BY lang_guess
             13,
         )
         + " ORDER BY doc_id, bench_id",
+        "contamination_fractions": __import__(
+            "esmarc_spark.ops.decontaminate", fromlist=["contamination_fraction_sql"]
+        ).contamination_fraction_sql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0",
+            13,
+        )
+        + " ORDER BY doc_id",
         "host_pagerank": __import__(
             "esmarc_spark.ops.linkgraph", fromlist=["host_pagerank_sql"]
         ).host_pagerank_sql(_LG_PAGES_SQL, 5),
@@ -2046,6 +2087,12 @@ GROUP BY lang_guess ORDER BY lang_guess
             salt="split-v1",
         )
         + " ORDER BY doc_id",
+        "leakage_safe_splits": __import__(
+            "esmarc_spark.ops.sampling", fromlist=["leakage_safe_split_sql"]
+        ).leakage_safe_split_sql(
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            salt="split-v1",
+        ),
         "host_token_budget": __import__(
             "esmarc_spark.ops.packing", fromlist=["cap_host_tokens_sql"]
         ).cap_host_tokens_sql(

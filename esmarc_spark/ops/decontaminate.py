@@ -201,6 +201,86 @@ def decontaminate_exact(
     return documents.join(bad.select("doc_id").distinct(), "doc_id", "left_anti")
 
 
+def contamination_fraction(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+) -> DataFrame:
+    """Per-doc contamination FRACTION — the thresholded form the GPT-3 /
+    Gopher decontamination rule actually applies (a page quoting one
+    benchmark line is dirty; a page that *is* mostly benchmark text is a
+    different, worse class): for each corpus doc, the share of its
+    distinct (hashed) n-grams that appear anywhere in the benchmark set.
+
+    Returns (doc_id, n_ngrams, n_contaminated, frac_permyriad) with
+    ``frac_permyriad`` an exact integer floor(1e4 * hits / total), so
+    the result hash-matches across engines and parallelism (no float
+    division). Docs shorter than ``n`` tokens have no n-grams and are
+    absent (nothing to measure). Scale shape: the benchmark shingle SET
+    is deduped then broadcast; the corpus side never shuffles before
+    the per-doc partial-agg count."""
+    from esmarc_spark.ops.dedup import _shingle_hashes, base_hash32
+    from esmarc_spark.ops.text import tokens_col
+
+    th = F.transform(tokens_col(), lambda t: base_hash32(t))
+    corp = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_hashes(th, n))).alias("sh"),
+    )
+    ben_set = (
+        benchmark.select(
+            F.explode(F.array_distinct(_shingle_hashes(th, n))).alias("sh")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        corp.join(F.broadcast(ben_set), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "frac_permyriad",
+            F.expr("(10000 * n_contaminated) div n_ngrams"),
+        )
+    )
+
+
+def contamination_fraction_sql(
+    corpus_select: str,
+    bench_select: str,
+    n: int = 13,
+) -> str:
+    """DuckDB mirror of :func:`contamination_fraction` (``//`` is
+    DuckDB's integer division — same floor-for-positives semantics as
+    Spark's ``div``)."""
+    from esmarc_spark.ops.dedup import _shingle_hashes_sql
+
+    return f"""
+WITH _csh AS (
+  SELECT doc_id, unnest(list_distinct({_shingle_hashes_sql(n)})) AS sh
+  FROM (SELECT doc_id, {_TH_SQL} AS th FROM ({corpus_select}))
+),
+_bset AS (
+  SELECT DISTINCT unnest(list_distinct({_shingle_hashes_sql(n)})) AS sh2
+  FROM (SELECT doc_id, {_TH_SQL} AS th FROM ({bench_select}))
+),
+_agg AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+         CAST(SUM(CASE WHEN b.sh2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+  FROM _csh c LEFT JOIN _bset b ON c.sh = b.sh2
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_ngrams, n_contaminated,
+       (10000 * n_contaminated) // n_ngrams AS frac_permyriad
+FROM _agg
+"""
+
+
 _TH_SQL = (
     "list_transform(string_split(text, ' '), "
     "t -> cast('0x' || substr(md5(t), 1, 8) AS bigint))"

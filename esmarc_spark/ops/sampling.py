@@ -270,11 +270,15 @@ def assign_split(
     random splits lose. Map-only; the reference has no splitter (its
     corpora are whole-dump), this is training-pipeline surface."""
     names, cuts = _split_cuts(ratios)
-    bucket = _portable_bucket(F.col(key), salt)
+    return df.withColumn("split", _split_case(F.col(key), names, cuts, salt))
+
+
+def _split_case(key: Column, names: list[str], cuts: list[int], salt: str) -> Column:
+    bucket = _portable_bucket(key, salt)
     col = F.when(bucket < cuts[0], F.lit(names[0]))
     for name, cut in zip(names[1:-1], cuts[1:-1]):
         col = col.when(bucket < cut, F.lit(name))
-    return df.withColumn("split", col.otherwise(F.lit(names[-1])))
+    return col.otherwise(F.lit(names[-1]))
 
 
 def assign_split_sql(
@@ -290,4 +294,106 @@ def assign_split_sql(
     return f"""
 SELECT *, CASE {whens} ELSE '{names[-1]}' END AS split
 FROM ({source_select})
+"""
+
+
+def assign_split_leakage_safe(
+    documents: DataFrame,
+    ratios: dict[str, float],
+    salt: str = "",
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Near-dup-cluster-consistent train/val/test assignment. A plain
+    per-doc hash split lets two near-duplicate documents (template
+    variants, boilerplate reprints) land in different splits — the eval
+    set then contains near-copies of training rows and benchmark numbers
+    are inflated. Here every document hashes the id of its near-dup
+    CLUSTER (min doc_id over the connected component of the corpus-dedup
+    edge graph, the same clustering ``dedup_corpus`` keeps one
+    representative from), so a whole cluster always shares one split.
+    Documents with no near-dup edge cluster to themselves.
+
+    Adds ``root_id`` (the hashed cluster id) and ``split``. Same
+    stability contract as :func:`assign_split`: membership is a pure
+    function of (cluster, salt), so appending a new dump never moves an
+    existing document between splits — unless the new dump links two old
+    clusters, in which case the merged cluster coherently follows its
+    new min id (the leakage-safety invariant is preserved, not broken,
+    by the move)."""
+    from esmarc_spark.ops.dedup import (
+        near_dup_edges,
+        signed_node_col,
+        signed_unnode_col,
+    )
+    from esmarc_spark.pipeline.canonicalize import canonical_mapping
+
+    edges = near_dup_edges(
+        documents, threshold, num_hashes, bands, shingle_k, max_bucket_size
+    ).select(
+        signed_node_col("doc_a").alias("src"),
+        signed_node_col("doc_b").alias("dst"),
+    )
+    mapping = canonical_mapping(edges).select(
+        F.col("uri").alias("_u"), F.col("canonical_uri").alias("_c")
+    ).select(
+        signed_unnode_col("_u").alias("doc_id"),
+        signed_unnode_col("_c").alias("root_id"),
+    )
+    names, cuts = _split_cuts(ratios)
+    return (
+        documents.join(mapping, "doc_id", "left")
+        .withColumn("root_id", F.coalesce(F.col("root_id"), F.col("doc_id")))
+        .withColumn("split", _split_case(F.col("root_id"), names, cuts, salt))
+    )
+
+
+def leakage_safe_split_sql(
+    ratios: dict[str, float],
+    salt: str = "",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`assign_split_leakage_safe` over the
+    ``documents`` view: clusters via a RECURSIVE transitive-closure CTE
+    (independent of the Spark star-contraction CC), then the shared
+    cut-point CASE over the portable hash of the cluster root."""
+    from esmarc_spark.ops.dedup import jaccard_pairs_sql
+
+    names, cuts = _split_cuts(ratios)
+    whens = " ".join(
+        f"WHEN {_bucket_sql('root_id', salt)} < {cut} THEN '{name}'"
+        for name, cut in zip(names[:-1], cuts[:-1])
+    )
+    return f"""
+WITH RECURSIVE kept AS (
+  SELECT doc_a, doc_b FROM ({jaccard_pairs_sql(num_hashes, bands, shingle_k)})
+  WHERE jaccard >= {threshold}
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM kept
+  UNION
+  SELECT doc_b, doc_a FROM kept
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a WHERE e2.b <> r.a
+),
+root AS (
+  SELECT a AS doc_id, least(a, min(b)) AS root FROM reach GROUP BY a
+),
+rooted AS (
+  SELECT d.doc_id, coalesce(r.root, d.doc_id) AS root_id
+  FROM documents d LEFT JOIN root r USING (doc_id)
+)
+SELECT doc_id, root_id, CASE {whens} ELSE '{names[-1]}' END AS split
+FROM rooted
+ORDER BY doc_id
 """

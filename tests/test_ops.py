@@ -824,3 +824,66 @@ def test_sample_source_mix_explicit_weights(spark):
         con.sql(sample_stratified_sql(src, "doc_id", "source", table)).fetchall()
     )
     assert sorted((r.doc_id, r.source) for r in got.collect()) == want
+
+
+def test_contamination_fraction(spark):
+    # exact permyriad fractions: half-quoted doc = 5000, clean = 0,
+    # fully-benchmark doc = 10000; short docs (< n tokens) are absent
+    from esmarc_spark.ops.decontaminate import contamination_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shingles: abc, bcd -> abc in bench
+            (2, "x y z w"),          # clean
+            (3, "a b c"),            # exactly the bench shingle
+            (4, "a b"),              # too short, no 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_contaminated, r.frac_permyriad)
+        for r in contamination_fraction(docs, bench, n=3).collect()
+    }
+    assert got == {1: (2, 1, 5000), 2: (2, 0, 0), 3: (1, 1, 10000)}
+
+
+def test_contamination_fraction_duckdb_parity(spark):
+    import duckdb
+
+    from esmarc_spark.ops.decontaminate import (
+        contamination_fraction,
+        contamination_fraction_sql,
+    )
+
+    rows = [
+        (
+            i,
+            " ".join(f"t{(i * 7 + j) % 23}" for j in range(15))
+            + " "
+            + " ".join(f"u{i}x{j}" for j in range(15)),
+        )
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench_rows = [(i, rows[i * 3][1]) for i in range(5)]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.n_ngrams, r.n_contaminated, r.frac_permyriad)
+        for r in contamination_fraction(docs, bench, n=5).collect()
+    )
+    cvals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    bvals = ", ".join(f"({i}, '{t}')" for i, t in bench_rows)
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            contamination_fraction_sql(
+                f"SELECT * FROM (VALUES {cvals}) AS c(doc_id, text)",
+                f"SELECT * FROM (VALUES {bvals}) AS b(doc_id, text)",
+                n=5,
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) == 40
+    fracs = {r[3] for r in got}
+    assert max(fracs) == 10000 and len(fracs) > 2  # bench members + a spread

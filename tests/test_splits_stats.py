@@ -268,3 +268,84 @@ def test_exact_quantiles_partition_invariant_and_nulls(spark):
     got = dict(((r[0], r[1]), r[2]) for r in a)
     assert got[("all", 5000)] == _disc_quantile(vals, 5000)
     assert got[("all", 9900)] == _disc_quantile(vals, 9900)
+
+
+# ---------------------------------------------------------------------------
+# assign_split_leakage_safe
+# ---------------------------------------------------------------------------
+
+
+def _clustered_docs(spark, n_clusters=40, members=4, singletons=30):
+    # clusters of exact-duplicate texts (token vocab disjoint across
+    # clusters, so no cross-cluster near-dup edge can exist) plus
+    # unique-text singletons
+    rows = []
+    for cid in range(n_clusters):
+        text = " ".join(f"c{cid}w{j}" for j in range(12))
+        for m in range(members):
+            rows.append((cid * 10 + m, text))
+    for i in range(singletons):
+        rows.append((1000 + i, " ".join(f"s{i}u{j}" for j in range(12))))
+    return spark.createDataFrame(rows, "doc_id bigint, text string").repartition(9)
+
+
+def test_leakage_safe_split_clusters_share_split(spark):
+    from esmarc_spark.ops.sampling import assign_split_leakage_safe
+
+    ratios = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = assign_split_leakage_safe(
+        _clustered_docs(spark), ratios, salt="ls-v1"
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        if r["doc_id"] < 1000:
+            by_cluster.setdefault(r["doc_id"] // 10, []).append(r)
+    assert len(by_cluster) == 40
+    for cid, members in by_cluster.items():
+        assert len(members) == 4
+        # whole cluster shares one split, rooted at its min doc_id
+        assert len({m["split"] for m in members}) == 1
+        assert {m["root_id"] for m in members} == {cid * 10}
+
+
+def test_leakage_safe_split_beats_plain_split(spark):
+    # the property the operator exists for: the plain per-doc split
+    # fractures at least one near-dup cluster across train/eval on this
+    # fixture; the cluster-rooted split never fractures any
+    from esmarc_spark.ops.sampling import assign_split, assign_split_leakage_safe
+
+    docs = _clustered_docs(spark)
+    ratios = {"train": 0.6, "val": 0.2, "test": 0.2}
+    plain = assign_split(docs, "doc_id", ratios, salt="ls-v1").collect()
+    frac = {}
+    for r in plain:
+        if r["doc_id"] < 1000:
+            frac.setdefault(r["doc_id"] // 10, set()).add(r["split"])
+    assert any(len(s) > 1 for s in frac.values())
+    safe = assign_split_leakage_safe(docs, ratios, salt="ls-v1").collect()
+    frac_safe = {}
+    for r in safe:
+        if r["doc_id"] < 1000:
+            frac_safe.setdefault(r["doc_id"] // 10, set()).add(r["split"])
+    assert all(len(s) == 1 for s in frac_safe.values())
+
+
+def test_leakage_safe_split_singletons_match_plain(spark):
+    # docs with no near-dup edge root at themselves, so their label is
+    # exactly the plain assign_split label (same hash key, same salt)
+    from esmarc_spark.ops.sampling import assign_split, assign_split_leakage_safe
+
+    docs = _clustered_docs(spark)
+    ratios = {"train": 0.9, "val": 0.05, "test": 0.05}
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs, "doc_id", ratios, salt="s9").collect()
+    }
+    safe = {
+        r["doc_id"]: (r["root_id"], r["split"])
+        for r in assign_split_leakage_safe(docs, ratios, salt="s9").collect()
+    }
+    for doc_id, (root, split) in safe.items():
+        if doc_id >= 1000:  # singleton
+            assert root == doc_id
+            assert split == plain[doc_id]
