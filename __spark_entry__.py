@@ -734,6 +734,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id", "text")
         ).orderBy("doc_id")
 
+    def quality_model_auc(spark, sf):
+        # round 7: exact distributed ROC AUC (Mann-Whitney rank-sum,
+        # average-rank ties, integer arithmetic through decimal(38,0))
+        # of the quality model against a deterministic length label,
+        # sliced per language — model evaluation as a first-class
+        # corpus-scale op, not a sampled sklearn call
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.quality_model import quality_model_score
+        from esmarc_spark.ops.stats import exact_auc
+
+        scored = quality_model_score(
+            _t(spark, sf, "documents").select("doc_id", "text", "lang", "n_chars")
+        ).select(
+            "lang",
+            F.round(F.col("quality_model") * 1000000)
+            .cast("long")
+            .alias("score_scaled"),
+            (F.col("n_chars") >= 300).alias("label"),
+        )
+        return exact_auc(scored, "score_scaled", "label", "lang").orderBy("lang")
+
     def lm_perplexity(spark, sf):
         # CCNet-style hashed bigram LM perplexity (vendored
         # deterministic counts, Jelinek-Mercer interpolation, pure-JVM
@@ -1685,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignments": split_assignments,
         "leakage_safe_splits": leakage_safe_splits,
         "contamination_fractions": contamination_fractions,
+        "quality_model_auc": quality_model_auc,
         "host_token_budget": host_token_budget,
         "url_revisit_diff": url_revisit_diff,
         "corpus_quantiles": corpus_quantiles,
@@ -2259,6 +2282,23 @@ FROM reach GROUP BY node ORDER BY uri
             "esmarc_spark.ops.quality_model", fromlist=["quality_model_sql"]
         ).quality_model_sql("SELECT doc_id, text FROM documents")
         + " ORDER BY doc_id",
+        "quality_model_auc": __import__(
+            "esmarc_spark.ops.stats", fromlist=["exact_auc_sql"]
+        ).exact_auc_sql(
+            "SELECT lang,"
+            " CAST(ROUND(quality_model * 1000000) AS BIGINT) AS score_scaled,"
+            " (n_chars >= 300) AS label FROM ("
+            + __import__(
+                "esmarc_spark.ops.quality_model", fromlist=["quality_model_sql"]
+            ).quality_model_sql(
+                "SELECT doc_id, text, lang, n_chars FROM documents"
+            )
+            + ")",
+            "score_scaled",
+            "label",
+            "lang",
+        )
+        + " ORDER BY lang",
         "lm_perplexity": __import__(
             "esmarc_spark.ops.lm", fromlist=["lm_perplexity_sql"]
         ).lm_perplexity_sql("SELECT doc_id, text FROM documents")

@@ -108,3 +108,130 @@ SELECT grp AS {group_col}, CAST(q_permyriad AS BIGINT) AS q_permyriad,
        MIN(val) AS value
 FROM _hit GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# exact AUC (round 7)
+# ---------------------------------------------------------------------------
+#
+# Model-based curation (quality_model, lm perplexity, DSIR) needs its
+# gatekeeper models EVALUATED on corpus-scale held-out labels, and a
+# sampled sklearn AUC is neither reproducible nor cheap to audit. The
+# Mann-Whitney rank-sum identity makes AUC exact and distributed: with
+# average-rank tie handling,
+#
+#   2*R_pos = sum over distinct scores of p*(2*cum_below + t + 1)
+#   2U      = 2*R_pos - n_pos*(n_pos+1)
+#   AUC     = U / (n_pos * n_neg)
+#
+# all integers. The only full-data shuffle is groupBy(group, score)
+# counts (partial-agged, bounded by score cardinality like
+# exact_quantiles above); the cumulative window runs over the
+# DISTINCT-SCORE relation. Products go through decimal(38,0) before the
+# final floor division, so the result is bit-identical at any
+# parallelism and row count (n_pos*n_neg overflows int64 past ~3e9
+# rows per class).
+
+
+def exact_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+) -> DataFrame:
+    """(group, n_pos, n_neg, auc_permyriad): exact ROC AUC of an
+    integer ``score_col`` against a boolean/0-1 ``label_col``, per
+    ``group_col`` (evaluation slices — language, source). Average-rank
+    ties (the standard Mann-Whitney convention); groups with a single
+    class are dropped (AUC undefined), NULL scores are excluded (no
+    order position — also keeps NULL ordering, which the engines
+    disagree on, out of the window). ``auc_permyriad`` is the exact
+    floor of 1e4 * AUC."""
+    dec = "decimal(38,0)"
+    vc = (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"), F.col(score_col).alias("val")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum(F.col(label_col).cast("int")).alias("p"),
+        )
+    )
+    w_below = (
+        Window.partitionBy("grp")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vc.withColumn(
+        "cum_below", F.coalesce(F.sum("t").over(w_below), F.lit(0))
+    )
+    agg = cum.groupBy("grp").agg(
+        F.sum("p").alias("n_pos"),
+        F.sum(F.col("t") - F.col("p")).alias("n_neg"),
+        F.sum(
+            F.col("p").cast(dec)
+            * (2 * F.col("cum_below") + F.col("t") + 1).cast(dec)
+        ).alias("two_r"),
+    )
+    num = (
+        F.lit(10000).cast(dec)
+        * (
+            F.col("two_r")
+            - (F.col("n_pos").cast(dec) * (F.col("n_pos") + 1).cast(dec))
+        )
+    )
+    den = (
+        F.lit(2).cast(dec)
+        * F.col("n_pos").cast(dec)
+        * F.col("n_neg").cast(dec)
+    )
+    return (
+        agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_pos",
+            "n_neg",
+            ((num - F.pmod(num, den)) / den)
+            .cast("long")
+            .alias("auc_permyriad"),
+        )
+    )
+
+
+def exact_auc_sql(
+    source_select: str,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+) -> str:
+    """DuckDB oracle: the identical rank-sum identity (HUGEINT carries
+    the products; ``//`` is the same floor-for-positives division)."""
+    return f"""
+WITH _src AS ({source_select}),
+_vc AS (
+  SELECT {group_col} AS grp, {score_col} AS val,
+         COUNT(*) AS t, SUM(CAST({label_col} AS INT)) AS p
+  FROM _src WHERE {score_col} IS NOT NULL GROUP BY 1, 2
+),
+_cum AS (
+  SELECT grp, t, p,
+         COALESCE(SUM(t) OVER (PARTITION BY grp ORDER BY val
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_below
+  FROM _vc
+),
+_agg AS (
+  SELECT grp,
+         CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(t - p) AS BIGINT) AS n_neg,
+         SUM(p * (2 * cum_below + t + 1)) AS two_r
+  FROM _cum GROUP BY grp
+)
+SELECT grp AS {group_col}, n_pos, n_neg,
+       CAST((10000 * (two_r - n_pos * (CAST(n_pos AS HUGEINT) + 1)))
+            // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+         AS auc_permyriad
+FROM _agg
+WHERE n_pos > 0 AND n_neg > 0
+"""

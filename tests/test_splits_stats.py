@@ -349,3 +349,86 @@ def test_leakage_safe_split_singletons_match_plain(spark):
         if doc_id >= 1000:  # singleton
             assert root == doc_id
             assert split == plain[doc_id]
+
+
+# ---------------------------------------------------------------------------
+# exact_auc
+# ---------------------------------------------------------------------------
+
+
+def _brute_auc_permyriad(pairs):
+    # (score, label) -> floor(1e4 * Mann-Whitney AUC), O(n^2) reference
+    pos = [s for s, l in pairs if l]
+    neg = [s for s, l in pairs if not l]
+    num = 0
+    for p in pos:
+        for q in neg:
+            num += 2 if p > q else (1 if p == q else 0)
+    return (10000 * num) // (2 * len(pos) * len(neg))
+
+
+def test_exact_auc_known_values(spark):
+    from esmarc_spark.ops.stats import exact_auc
+
+    rows = []
+    # group a: perfect separation -> 10000
+    rows += [("a", s, True) for s in (10, 11, 12)]
+    rows += [("a", s, False) for s in (1, 2, 3)]
+    # group b: one shared score -> 5000 (all-tie average rank)
+    rows += [("b", 7, True)] * 4 + [("b", 7, False)] * 3
+    # group c: mixed with ties, checked against the O(n^2) reference
+    c_pairs = [(5, True), (3, True), (3, False), (2, False), (9, True),
+               (1, False), (5, False), (5, True), (8, False)]
+    rows += [("c", s, l) for s, l in c_pairs]
+    # group d: single class -> dropped
+    rows += [("d", s, True) for s in (1, 2)]
+    # group e: null scores excluded entirely
+    rows += [("e", 4, True), ("e", 1, False), ("e", None, True), ("e", None, False)]
+    df = spark.createDataFrame(rows, "grp string, score int, label boolean").repartition(5)
+    got = {
+        r["grp"]: (r["n_pos"], r["n_neg"], r["auc_permyriad"])
+        for r in exact_auc(df, "score", "label", "grp").collect()
+    }
+    assert got["a"] == (3, 3, 10000)
+    assert got["b"] == (4, 3, 5000)
+    assert got["c"] == (4, 5, _brute_auc_permyriad(c_pairs))
+    assert "d" not in got
+    assert got["e"] == (1, 1, 10000)
+    # partitioning invariance (bit-identical at any parallelism)
+    again = {
+        r["grp"]: (r["n_pos"], r["n_neg"], r["auc_permyriad"])
+        for r in exact_auc(df.repartition(37), "score", "label", "grp").collect()
+    }
+    assert again == got
+
+
+def test_exact_auc_duckdb_parity(spark):
+    import duckdb
+
+    from esmarc_spark.ops.stats import exact_auc, exact_auc_sql
+
+    rows = [
+        (f"g{i % 3}", (i * 13) % 29, (i * 7) % 5 < 2)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "grp string, score int, label boolean")
+    got = sorted(
+        (r["grp"], r["n_pos"], r["n_neg"], r["auc_permyriad"])
+        for r in exact_auc(df, "score", "label", "grp").collect()
+    )
+    vals = ", ".join(f"('{g}', {s}, {str(l).lower()})" for g, s, l in rows)
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            exact_auc_sql(
+                f"SELECT * FROM (VALUES {vals}) AS t(grp, score, label)",
+                "score",
+                "label",
+                "grp",
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) == 3
+    for g, np_, nn, auc in got:
+        sub = [(s, l) for gg, s, l in rows if gg == g]
+        assert auc == _brute_auc_permyriad(sub)
