@@ -90,6 +90,26 @@ _LG_PAGES_SQL = """SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
           ELSE '<a href="/relative/p">r</a>' END AS html
    FROM documents"""
 
+# shared fixture for the pagemeta queries (mirrors _pagemeta_docs)
+_PAGEMETA_SQL = """SELECT doc_id,
+     'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+       || CAST(doc_id AS VARCHAR) AS url,
+     '<html><head>'
+     || CASE WHEN doc_id % 5 = 0 THEN
+          CASE WHEN doc_id % 2 = 0
+            THEN '<link rel="canonical" href="https://canon.example/c'
+                 || CAST(doc_id // 10 AS VARCHAR) || '">'
+            ELSE '<link href=''https://canon.example/c'
+                 || CAST(doc_id // 10 AS VARCHAR) || ''' rel=''canonical''>'
+          END ELSE '' END
+     || CASE WHEN doc_id % 11 = 0 THEN
+          CASE WHEN doc_id % 2 = 0
+            THEN '<meta name="robots" content="noindex, follow">'
+            ELSE '<meta content=''noindex'' name=robots>'
+          END ELSE '' END
+     || '</head><body>' || text || '</body></html>' AS html
+   FROM documents"""
+
 
 # ---------------------------------------------------------------------------
 # flagship
@@ -733,6 +753,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return quality_model_score(
             _t(spark, sf, "documents").select("doc_id", "text")
         ).orderBy("doc_id")
+
+    def _pagemeta_docs(spark, sf):
+        # shared synthetic page fixture for the pagemeta queries: every
+        # 5th doc declares a rel=canonical to its decade leader, every
+        # 11th carries meta-robots noindex; attribute order and quote
+        # style rotate by doc_id so both regex alternations and all
+        # quoting variants are exercised — identical arithmetic in the
+        # DuckDB oracle
+        from pyspark.sql import functions as F
+
+        docs = _t(spark, sf, "documents")
+        did = F.col("doc_id").cast("string")
+        url = F.concat(
+            F.lit("https://s"),
+            F.pmod("doc_id", F.lit(7)).cast("string"),
+            F.lit(".example/p"),
+            did,
+        )
+        canon_target = F.concat(
+            F.lit("https://canon.example/c"),
+            F.expr("doc_id div 10").cast("string"),
+        )
+        link = (
+            F.when(
+                F.pmod("doc_id", F.lit(5)) == 0,
+                F.when(
+                    F.pmod("doc_id", F.lit(2)) == 0,
+                    F.concat(
+                        F.lit('<link rel="canonical" href="'),
+                        canon_target,
+                        F.lit('">'),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit("<link href='"),
+                        canon_target,
+                        F.lit("' rel='canonical'>"),
+                    )
+                ),
+            )
+            .otherwise(F.lit(""))
+        )
+        robots = (
+            F.when(
+                F.pmod("doc_id", F.lit(11)) == 0,
+                F.when(
+                    F.pmod("doc_id", F.lit(2)) == 0,
+                    F.lit('<meta name="robots" content="noindex, follow">'),
+                ).otherwise(F.lit("<meta content='noindex' name=robots>")),
+            )
+            .otherwise(F.lit(""))
+        )
+        html = F.concat(
+            F.lit("<html><head>"),
+            link,
+            robots,
+            F.lit("</head><body>"),
+            F.col("text"),
+            F.lit("</body></html>"),
+        )
+        return docs.select(
+            "doc_id", url.alias("url"), html.alias("html")
+        )
+
+    def noindex_gate(spark, sf):
+        # round 7: meta-robots noindex directive gate (publisher intent)
+        from esmarc_spark.ops.pagemeta import filter_noindex
+
+        return (
+            filter_noindex(_pagemeta_docs(spark, sf))
+            .select("doc_id", "url")
+            .orderBy("doc_id")
+        )
+
+    def rel_canonical_groups(spark, sf):
+        # round 7: pages grouped by their DECLARED canonical target —
+        # catches duplicates URL normalization can't see (print views,
+        # mobile mirrors); undeclared pages self-canonicalize
+        from esmarc_spark.ops.pagemeta import declared_canonical_groups
+
+        return declared_canonical_groups(_pagemeta_docs(spark, sf)).orderBy(
+            "canonical"
+        )
 
     def quality_model_auc(spark, sf):
         # round 7: exact distributed ROC AUC (Mann-Whitney rank-sum,
@@ -1708,6 +1811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_splits": leakage_safe_splits,
         "contamination_fractions": contamination_fractions,
         "quality_model_auc": quality_model_auc,
+        "noindex_gate": noindex_gate,
+        "rel_canonical_groups": rel_canonical_groups,
         "host_token_budget": host_token_budget,
         "url_revisit_diff": url_revisit_diff,
         "corpus_quantiles": corpus_quantiles,
@@ -2299,6 +2404,18 @@ FROM reach GROUP BY node ORDER BY uri
             "lang",
         )
         + " ORDER BY lang",
+        "noindex_gate": "SELECT doc_id, url FROM ("
+        + _PAGEMETA_SQL
+        + ") WHERE html IS NULL OR NOT ("
+        + __import__(
+            "esmarc_spark.ops.pagemeta", fromlist=["noindex_sql_predicate"]
+        ).noindex_sql_predicate()
+        + ") ORDER BY doc_id",
+        "rel_canonical_groups": __import__(
+            "esmarc_spark.ops.pagemeta",
+            fromlist=["declared_canonical_groups_sql"],
+        ).declared_canonical_groups_sql(_PAGEMETA_SQL)
+        + " ORDER BY canonical",
         "lm_perplexity": __import__(
             "esmarc_spark.ops.lm", fromlist=["lm_perplexity_sql"]
         ).lm_perplexity_sql("SELECT doc_id, text FROM documents")

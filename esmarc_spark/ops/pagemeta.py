@@ -1,0 +1,127 @@
+"""Page-level metadata directives — the two HTML signals every serious
+crawl pipeline honors before content processing:
+
+* ``<meta name="robots" content="... noindex ...">`` — the publisher
+  asked not to be indexed; a training corpus that wants to respect
+  publisher intent drops the page (Common Crawl consumers routinely
+  filter on it).
+* ``<link rel="canonical" href="...">`` — the publisher's OWN statement
+  of which URL is authoritative. Grouping by the declared canonical
+  catches duplicate pages that URL *normalization* (ops/urlnorm) cannot:
+  print views, mobile mirrors, session-id paths — different normalized
+  urls, same declared canonical.
+
+Both are single-pass RE2-safe regexes (no backreferences, no lookahead)
+shared verbatim between the Spark expression and the DuckDB oracle —
+pure whole-stage-codegen, no UDF, no shuffle. Attribute order in real
+HTML flips freely (``name`` before ``content`` and vice versa), so each
+signal is an alternation of the two orders; quoting styles (double,
+single, bare) are covered by optional quote classes.
+
+Reference analogue: none (the reference ingests record dumps, not HTML);
+this is crawl-pipeline surface on the S1 side of the webtext path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# meta-robots noindex, either attribute order. [^>]* never crosses the
+# tag boundary, so a "robots" mention in page text cannot match.
+_NOINDEX_RX = (
+    r'(?i)<meta\b[^>]*name\s*=\s*["\x27]?robots["\x27]?[^>]*'
+    r'content\s*=\s*["\x27]?[^"\x27>]*noindex'
+    r'|(?i)<meta\b[^>]*content\s*=\s*["\x27]?[^"\x27>]*noindex[^"\x27>]*'
+    r'["\x27]?[^>]*name\s*=\s*["\x27]?robots'
+)
+
+# rel=canonical href, both attribute orders (capture group 1 = the url)
+_CANONICAL_REL_FIRST_RX = (
+    r'(?i)<link\b[^>]*rel\s*=\s*["\x27]?canonical["\x27]?[^>]*'
+    r'href\s*=\s*["\x27]?([^"\x27 >]+)'
+)
+_CANONICAL_HREF_FIRST_RX = (
+    r'(?i)<link\b[^>]*href\s*=\s*["\x27]?([^"\x27 >]+)["\x27]?[^>]*'
+    r'rel\s*=\s*["\x27]?canonical'
+)
+
+
+def is_noindex(html: F.Column) -> F.Column:
+    """True when the page carries a meta-robots noindex directive."""
+    return html.rlike(_NOINDEX_RX)
+
+
+def filter_noindex(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Drop pages the publisher marked noindex (NULL html is kept — no
+    directive present). Map-only."""
+    return df.where(
+        F.col(html_col).isNull() | ~is_noindex(F.col(html_col))
+    )
+
+
+def rel_canonical(html: F.Column) -> F.Column:
+    """The declared canonical url, or NULL if the page declares none.
+    First match wins per order-variant; the rel-first form is preferred
+    when both exist (they agree on real pages)."""
+    first = F.nullif(
+        F.regexp_extract(html, _CANONICAL_REL_FIRST_RX, 1), F.lit("")
+    )
+    second = F.nullif(
+        F.regexp_extract(html, _CANONICAL_HREF_FIRST_RX, 1), F.lit("")
+    )
+    return F.coalesce(first, second)
+
+
+def declared_canonical_groups(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(canonical, n_pages, representative): pages grouped by their
+    DECLARED canonical target — pages with no declaration group under
+    their own url (self-canonical, the HTML spec's default). The
+    representative is the bytewise-min member url (deterministic at any
+    parallelism). One uniform-keyed partial-agg groupBy."""
+    keyed = df.select(
+        F.coalesce(rel_canonical(F.col(html_col)), F.col(url_col)).alias(
+            "canonical"
+        ),
+        F.col(url_col).alias("_url"),
+    )
+    return keyed.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("_url").alias("representative"),
+    )
+
+
+def _sql_quote(rx: str) -> str:
+    """Embed a regex as a DuckDB string literal: single quotes doubled,
+    backslashes left alone (DuckDB treats them literally)."""
+    return "'" + rx.replace("\x27", "\x27\x27") + "'"
+
+
+def noindex_sql_predicate(html: str = "html") -> str:
+    """DuckDB predicate mirroring :func:`is_noindex` (same pattern)."""
+    return f"regexp_matches({html}, {_sql_quote(_NOINDEX_RX)})"
+
+
+def declared_canonical_groups_sql(
+    source_select: str, html: str = "html", url: str = "url"
+) -> str:
+    """DuckDB oracle for :func:`declared_canonical_groups` (identical
+    patterns; DuckDB regexp_extract returns '' on no-match like Spark)."""
+    rel_first = _sql_quote(_CANONICAL_REL_FIRST_RX)
+    href_first = _sql_quote(_CANONICAL_HREF_FIRST_RX)
+    return f"""
+WITH _keyed AS (
+  SELECT coalesce(
+           nullif(regexp_extract({html}, {rel_first}, 1), ''),
+           nullif(regexp_extract({html}, {href_first}, 1), ''),
+           {url}
+         ) AS canonical,
+         {url} AS _url
+  FROM ({source_select})
+)
+SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       MIN(_url) AS representative
+FROM _keyed GROUP BY canonical
+"""

@@ -1,0 +1,119 @@
+"""Round-7 pagemeta ops: meta-robots noindex gate and rel=canonical
+declared-duplicate grouping."""
+
+import duckdb
+
+
+def _pages(spark):
+    rows = [
+        # (doc_id, url, html)
+        (1, "https://a.example/p1",
+         '<html><head><meta name="robots" content="noindex, follow">'
+         "</head><body>x</body></html>"),
+        (2, "https://a.example/p2",
+         "<html><head><meta content='noindex' name=robots>"
+         "</head><body>x</body></html>"),
+        (3, "https://a.example/p3",
+         '<html><head><META NAME=ROBOTS CONTENT="NOINDEX">'
+         "</head><body>x</body></html>"),
+        # robots mentioned in body text only -> kept
+        (4, "https://a.example/p4",
+         "<html><body>robots love noindex talk</body></html>"),
+        # nofollow-only directive -> kept
+        (5, "https://a.example/p5",
+         '<html><head><meta name="robots" content="nofollow">'
+         "</head><body>x</body></html>"),
+        (6, "https://a.example/p6", None),
+        # canonical declarations, both attribute orders + quote styles
+        (7, "https://m.example/p7",
+         '<html><head><link rel="canonical" href="https://c.example/one">'
+         "</head><body>x</body></html>"),
+        (8, "https://print.example/p8",
+         "<html><head><link href='https://c.example/one' rel='canonical'>"
+         "</head><body>x</body></html>"),
+        (9, "https://bare.example/p9",
+         "<html><head><link rel=canonical href=https://c.example/two>"
+         "</head><body>x</body></html>"),
+        # no declaration -> self-canonical
+        (10, "https://solo.example/p10", "<html><body>x</body></html>"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, html string")
+
+
+def test_noindex_gate(spark):
+    from esmarc_spark.ops.pagemeta import filter_noindex
+
+    kept = sorted(
+        r.doc_id for r in filter_noindex(_pages(spark)).collect()
+    )
+    # 1-3 dropped (all orders/quote/case variants); body mention, nofollow,
+    # NULL html, and canonical-only pages kept
+    assert kept == [4, 5, 6, 7, 8, 9, 10]
+
+
+def test_rel_canonical_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.pagemeta import rel_canonical
+
+    got = {
+        r.doc_id: r.c
+        for r in _pages(spark)
+        .select("doc_id", rel_canonical(F.col("html")).alias("c"))
+        .collect()
+    }
+    assert got[7] == "https://c.example/one"
+    assert got[8] == "https://c.example/one"
+    assert got[9] == "https://c.example/two"
+    assert got[10] is None and got[4] is None
+
+
+def test_declared_canonical_groups(spark):
+    from esmarc_spark.ops.pagemeta import declared_canonical_groups
+
+    got = {
+        r.canonical: (r.n_pages, r.representative)
+        for r in declared_canonical_groups(_pages(spark).where("html IS NOT NULL")).collect()
+    }
+    # the mobile + print pages collapse onto the declared canonical
+    assert got["https://c.example/one"] == (2, "https://m.example/p7")
+    assert got["https://c.example/two"] == (1, "https://bare.example/p9")
+    # undeclared pages self-canonicalize
+    assert got["https://solo.example/p10"] == (1, "https://solo.example/p10")
+    assert got["https://a.example/p1"] == (1, "https://a.example/p1")
+
+
+def test_pagemeta_duckdb_parity(spark):
+    from esmarc_spark.ops.pagemeta import (
+        declared_canonical_groups,
+        declared_canonical_groups_sql,
+        filter_noindex,
+        noindex_sql_predicate,
+    )
+
+    df = _pages(spark).where("html IS NOT NULL")
+    rows = [(r.doc_id, r.url, r.html) for r in df.collect()]
+    vals = ", ".join(
+        "({}, '{}', '{}')".format(i, u, h.replace("'", "''"))
+        for i, u, h in rows
+    )
+    src = f"SELECT * FROM (VALUES {vals}) AS t(doc_id, url, html)"
+
+    got_keep = sorted(r.doc_id for r in filter_noindex(df).collect())
+    want_keep = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM ({src}) WHERE NOT {noindex_sql_predicate()}"
+        ).fetchall()
+    )
+    assert got_keep == want_keep
+
+    got_groups = sorted(
+        (r.canonical, r.n_pages, r.representative)
+        for r in declared_canonical_groups(df).collect()
+    )
+    want_groups = sorted(
+        tuple(r)
+        for r in duckdb.sql(declared_canonical_groups_sql(src)).fetchall()
+    )
+    assert got_groups == want_groups
