@@ -48,8 +48,11 @@ _CANONICAL_HREF_FIRST_RX = (
 
 
 def is_noindex(html: F.Column) -> F.Column:
-    """True when the page carries a meta-robots noindex directive."""
-    return html.rlike(_NOINDEX_RX)
+    """True when the page carries a meta-robots noindex directive.
+    Accepts string OR binary html (the pipeline's S0 column is raw
+    bytes; cast binary->string does not validate, and the tag bytes the
+    patterns touch are ASCII)."""
+    return html.cast("string").rlike(_NOINDEX_RX)
 
 
 def filter_noindex(df: DataFrame, html_col: str = "html") -> DataFrame:
@@ -64,11 +67,12 @@ def rel_canonical(html: F.Column) -> F.Column:
     """The declared canonical url, or NULL if the page declares none.
     First match wins per order-variant; the rel-first form is preferred
     when both exist (they agree on real pages)."""
+    s = html.cast("string")  # string or raw-bytes html, like is_noindex
     first = F.nullif(
-        F.regexp_extract(html, _CANONICAL_REL_FIRST_RX, 1), F.lit("")
+        F.regexp_extract(s, _CANONICAL_REL_FIRST_RX, 1), F.lit("")
     )
     second = F.nullif(
-        F.regexp_extract(html, _CANONICAL_HREF_FIRST_RX, 1), F.lit("")
+        F.regexp_extract(s, _CANONICAL_HREF_FIRST_RX, 1), F.lit("")
     )
     return F.coalesce(first, second)
 
@@ -90,6 +94,40 @@ def declared_canonical_groups(
     return keyed.groupBy("canonical").agg(
         F.count(F.lit(1)).alias("n_pages"),
         F.min("_url").alias("representative"),
+    )
+
+
+def dedup_by_declared_canonical(
+    webtext: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """One row per DECLARED canonical target: latest crawl wins (max_by
+    (warc_ts, url) — the same survivor rule as
+    urlnorm.dedup_by_canonical_url, so the two dedups compose without a
+    second convention). Key = the page's rel=canonical declaration,
+    falling back to its own url (the spec default). Unlike the
+    url-normalization dedup the key comes from page CONTENT, so it
+    collapses print views / mobile mirrors / session-id paths whose
+    urls normalize differently. The surviving row keeps its OWN url —
+    the declared target may point at a page the crawl never fetched,
+    and rewriting would fabricate a url we have no bytes for.
+
+    ``group_cols`` adds grouping keys (the batch backfill passes
+    ("pday",) — per-day dedup, byte-identical to the per-day loop).
+    Single uniform-keyed shuffle."""
+    cols = webtext.columns
+    key = F.coalesce(rel_canonical(F.col(html_col)), F.col(url_col))
+    return (
+        webtext.withColumn("_ckey", key)
+        .groupBy("_ckey", *group_cols)
+        .agg(
+            F.max_by(
+                F.struct(*cols), F.struct("warc_ts", url_col)
+            ).alias("_row")
+        )
+        .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
     )
 
 

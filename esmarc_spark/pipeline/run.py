@@ -63,6 +63,8 @@ def prepare_docs(
     webtext: DataFrame,
     *,
     canonical_url_dedup: bool = False,
+    drop_noindex: bool = False,
+    rel_canonical_dedup: bool = False,
     main_content: bool = False,
     charset_aware: bool = False,
     legacy_charsets: bool = False,
@@ -99,7 +101,15 @@ def prepare_docs(
        table pass by default (``keep_unranked=False`` flips to strict
        allowlisting). CCNet-style quality stratification by link
        authority, applied before anything touches html;
+    1c. noindex gate — when ``drop_noindex``, pages carrying a
+       meta-robots noindex directive are dropped (ops.pagemeta;
+       map-only regex). BEFORE any dedup, so a noindex page can
+       neither survive a group nor displace an indexable duplicate;
     2. canonical-url dedup — collapses url variants before S1;
+    2b. declared-canonical dedup — when ``rel_canonical_dedup``, one
+       row per rel=canonical declaration (ops.pagemeta) — collapses
+       print/mobile/session duplicates whose urls normalize
+       differently; same max_by(warc_ts, url) survivor rule;
     3. legacy-charset decode + S1 extraction (+ per-url dedup unless
        ``url_dedup=False`` — the streaming path defers cross-batch url
        dedup to the downstream idempotent sink);
@@ -141,10 +151,18 @@ def prepare_docs(
         webtext = _host_authority_gate(
             webtext, host_ranks, min_rank_scaled, keep_unranked
         )
+    if drop_noindex:
+        from esmarc_spark.ops.pagemeta import filter_noindex
+
+        webtext = filter_noindex(webtext)
     if canonical_url_dedup:
         from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
 
         webtext = dedup_by_canonical_url(webtext)
+    if rel_canonical_dedup:
+        from esmarc_spark.ops.pagemeta import dedup_by_declared_canonical
+
+        webtext = dedup_by_declared_canonical(webtext)
     if legacy_charsets:
         from esmarc_spark.pipeline.extract_text import extract_legacy_text
 
@@ -247,6 +265,8 @@ def run_pipeline(
     mentions_mode: str = "ngram",
     source_index: str = "webtext",
     canonical_url_dedup: bool = False,
+    drop_noindex: bool = False,
+    rel_canonical_dedup: bool = False,
     main_content: bool = False,
     charset_aware: bool = False,
     legacy_charsets: bool = False,
@@ -300,10 +320,22 @@ def run_pipeline(
     * repetition_thresholds: (dup_line, dup_char, top_bigram) maxima —
       e.g. GOPHER_REPETITION_THRESHOLDS — applied to extracted text.
     * pii_scrub: redact email/IPv4/phone in ``text`` before mentions.
+
+    The round-7 page-directive knobs (default OFF):
+
+    * drop_noindex: honor meta-robots noindex (ops.pagemeta) before any
+      dedup — a noindex page can neither survive nor displace an
+      indexable duplicate.
+    * rel_canonical_dedup: one row per rel=canonical declaration —
+      collapses print/mobile/session duplicates whose urls normalize
+      differently (same max_by(warc_ts, url) survivor rule as
+      canonical_url_dedup).
     """
     docs = prepare_docs(
         webtext,
         canonical_url_dedup=canonical_url_dedup,
+        drop_noindex=drop_noindex,
+        rel_canonical_dedup=rel_canonical_dedup,
         main_content=main_content,
         charset_aware=charset_aware,
         legacy_charsets=legacy_charsets,
@@ -352,6 +384,8 @@ def _curated_day_docs(
     min_rank_scaled = cur.pop("min_rank_scaled", 0)
     keep_unranked = cur.pop("keep_unranked", True)
     canon = cur.pop("canonical_url_dedup", False)
+    noindex = cur.pop("drop_noindex", False)
+    rel_canon = cur.pop("rel_canonical_dedup", False)
     work = part
     if host_bl is not None:
         from esmarc_spark.ops.urlnorm import filter_by_host_blocklist
@@ -363,10 +397,22 @@ def _curated_day_docs(
         work = _host_authority_gate(
             work, host_ranks, min_rank_scaled, keep_unranked
         )
+    if noindex:
+        # stage 1c, html-only row filter — fold-independent, runs with
+        # the other pre-fold gates for symmetry
+        from esmarc_spark.ops.pagemeta import filter_noindex
+
+        work = filter_noindex(work)
     if canon:
         from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
 
         work = dedup_by_canonical_url(work, group_cols=("pday",))
+    if rel_canon:
+        # stage 2b on the UNFOLDED url (the key falls back to the raw
+        # url for undeclared pages), grouped per pday like stage 2
+        from esmarc_spark.ops.pagemeta import dedup_by_declared_canonical
+
+        work = dedup_by_declared_canonical(work, group_cols=("pday",))
     keyed = work.withColumn("url", F.concat(F.col("pday"), F.col("url")))
     return prepare_docs(
         keyed, dedup_scope=F.substring(F.col("url"), 1, 10), **cur

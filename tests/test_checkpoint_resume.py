@@ -220,9 +220,58 @@ def test_backfill_matches_loop_with_curation(spark, tmp_path):
                 F.lit(1700000000) + F.pmod(F.xxhash64("url"), F.lit(3)) * 86400
             ),
         )
-        .drop("_i")
-        .cache()
+        # meta-robots noindex pages on a distinctive host (html rows only
+        # — the directive lives in the html)
+        .withColumn(
+            "url",
+            F.when(
+                (i % 25 == 2) & F.col("html").isNotNull(),
+                F.concat(
+                    F.lit("https://noindexed.example/page/"), i.cast("string")
+                ),
+            ).otherwise(F.col("url")),
+        )
+        .withColumn(
+            "html",
+            F.when(
+                (i % 25 == 2) & F.col("html").isNotNull(),
+                F.concat(
+                    F.encode(
+                        F.lit('<meta name="robots" content="noindex">'),
+                        "UTF-8",
+                    ),
+                    F.col("html"),
+                ),
+            ).otherwise(F.col("html")),
+        )
     )
+    # print-view duplicates: same day, 1s older, declaring the original
+    # as rel=canonical (skip utm rows — their original's url is
+    # rewritten by canonical-url dedup, so the declared key would miss)
+    printed = (
+        wt.where(
+            (F.col("_i") % 30 == 4)
+            & (F.col("_i") % 9 != 1)
+            & F.col("html").isNotNull()
+        )
+        .withColumn(
+            "html",
+            F.concat(
+                F.encode(
+                    F.concat(
+                        F.lit('<link rel="canonical" href="'),
+                        F.col("url"),
+                        F.lit('">'),
+                    ),
+                    "UTF-8",
+                ),
+                F.col("html"),
+            ),
+        )
+        .withColumn("url", F.concat(F.col("url"), F.lit("/print")))
+        .withColumn("warc_ts", F.col("warc_ts") - F.expr("INTERVAL 1 SECOND"))
+    )
+    wt = wt.unionByName(printed).drop("_i").cache()
     gaz = gazetteer_df(spark)
     blocked = spark.createDataFrame([("spam.example",)], "host string")
     ranks = spark.createDataFrame(
@@ -231,6 +280,8 @@ def test_backfill_matches_loop_with_curation(spark, tmp_path):
     )
     curation = dict(
         canonical_url_dedup=True,
+        drop_noindex=True,
+        rel_canonical_dedup=True,
         host_blocklist=blocked,
         host_ranks=ranks,
         min_rank_scaled=100,
@@ -251,6 +302,10 @@ def test_backfill_matches_loop_with_curation(spark, tmp_path):
     )
     # the host-authority gate actually fired in BOTH modes
     assert not any("lowrank.example" in subj for subj, _, _, _ in loop_triples)
+    # round 7: noindex pages dropped; print views collapsed onto their
+    # declared canonical (the 1s-younger original wins max_by)
+    assert not any("noindexed.example" in subj for subj, _, _, _ in loop_triples)
+    assert not any("/print" in subj for subj, _, _, _ in loop_triples)
 
 
 def _corpus_dedup_inputs(spark):

@@ -117,3 +117,72 @@ def test_pagemeta_duckdb_parity(spark):
         for r in duckdb.sql(declared_canonical_groups_sql(src)).fetchall()
     )
     assert got_groups == want_groups
+
+
+def test_dedup_by_declared_canonical(spark):
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.pagemeta import dedup_by_declared_canonical
+
+    rows = [
+        # original + print view declaring it; original is newer -> wins
+        (1, "https://a.example/art", 1000,
+         "<html><body>orig</body></html>"),
+        (2, "https://a.example/art/print", 999,
+         '<html><head><link rel="canonical" href="https://a.example/art">'
+         "</head><body>print</body></html>"),
+        # declared target NOT in the crawl: survivor keeps its OWN url
+        (3, "https://m.example/amp", 500,
+         '<html><head><link rel="canonical" href="https://never.example/x">'
+         "</head><body>amp</body></html>"),
+        # undeclared page: self-canonical, untouched
+        (4, "https://solo.example/p", 100, "<html><body>s</body></html>"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, ts long, html string"
+    ).withColumn("warc_ts", F.timestamp_seconds("ts")).drop("ts")
+    out = {r.url: r.doc_id for r in dedup_by_declared_canonical(df).collect()}
+    assert out == {
+        "https://a.example/art": 1,       # print view collapsed away
+        "https://m.example/amp": 3,       # own url kept, not the target
+        "https://solo.example/p": 4,
+    }
+
+
+def test_prepare_docs_pagemeta_flags(spark):
+    # composition through the shared curation front-end: drop_noindex
+    # removes the marked page, rel_canonical_dedup collapses the print
+    # view, defaults leave both untouched
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.pipeline.run import prepare_docs
+
+    rows = [
+        ("https://k.example/a", 1000,
+         "<html><body>alpha words here</body></html>", None),
+        ("https://k.example/a/print", 999,
+         '<html><head><link href=\'https://k.example/a\' rel=\'canonical\'>'
+         "</head><body>alpha words here</body></html>", None),
+        ("https://k.example/b", 1000,
+         '<html><head><meta name="robots" content="noindex">'
+         "</head><body>beta words here</body></html>", None),
+        ("https://k.example/c", 1000,
+         "<html><body>gamma words here</body></html>", None),
+    ]
+    wt = spark.createDataFrame(
+        rows, "url string, ts long, h string, text string"
+    ).select(
+        "url",
+        F.timestamp_seconds("ts").alias("warc_ts"),
+        F.encode("h", "UTF-8").alias("html"),
+        "text",
+    )
+    gated = sorted(
+        r.url
+        for r in prepare_docs(
+            wt, drop_noindex=True, rel_canonical_dedup=True
+        ).collect()
+    )
+    assert gated == ["https://k.example/a", "https://k.example/c"]
+    plain = sorted(r.url for r in prepare_docs(wt).collect())
+    assert len(plain) == 4
