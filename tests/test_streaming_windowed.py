@@ -356,7 +356,8 @@ def test_compaction_crash_replay_consistent(spark, tmp_path, scheme):
 def _curation_webtext(spark, n_docs=5000):
     """synth_webtext with per-row injections that make every gate
     observable: blocked-subdomain urls (id%10==0), 20x-repeated lines
-    (id%7==3), and an email address (id%5==1)."""
+    (id%7==3), an email address (id%5==1), and meta-robots noindex html
+    pages on a distinctive host (id%11==2, round 7)."""
     base = synth_webtext(spark, n_docs=n_docs, partitions=4, dup_fraction=0)
     i = F.regexp_extract("url", r"([0-9]+)$", 1).cast("int")
     rep = F.concat_ws("\n", *([F.col("text")] + [F.lit("repeat me please now")] * 20))
@@ -376,6 +377,25 @@ def _curation_webtext(spark, n_docs=5000):
                 F.concat(F.col("text"), F.lit(" contact bob@example.com now")),
             ).otherwise(F.col("text")),
         )
+        .withColumn(
+            "url",
+            F.when(
+                (i % 11 == 2) & (i % 10 != 0) & F.col("html").isNotNull(),
+                F.concat(F.lit("https://noindexed.example/page/"), i.cast("string")),
+            ).otherwise(F.col("url")),
+        )
+        .withColumn(
+            "html",
+            F.when(
+                (i % 11 == 2) & F.col("html").isNotNull(),
+                F.concat(
+                    F.encode(
+                        F.lit('<meta name="robots" content="noindex">'), "UTF-8"
+                    ),
+                    F.col("html"),
+                ),
+            ).otherwise(F.col("html")),
+        )
     )
 
 
@@ -390,11 +410,17 @@ def test_prepare_docs_gates_observable(spark):
     gated = prepare_docs(
         web,
         host_blocklist=blocked,
+        drop_noindex=True,
         repetition_thresholds=GOPHER_REPETITION_THRESHOLDS,
         pii_scrub=True,
     )
     urls = [r.url for r in gated.select("url").collect()]
     assert urls and not any("spam.example" in u for u in urls)
+    # round 7: the noindex directive gate fired; plain keeps those pages
+    assert not any("noindexed.example" in u for u in urls)
+    assert any(
+        "noindexed.example" in r.url for r in plain.select("url").collect()
+    )
     # subdomain match: every id%10 row is gone, others survive
     assert plain.count() > gated.count()
     # repetitive docs gated (those ids carried text with 20 dup lines)
@@ -429,6 +455,8 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     blocked = spark.createDataFrame([("spam.example",)], "host string")
     curation = dict(
         canonical_url_dedup=True,
+        drop_noindex=True,
+        rel_canonical_dedup=True,
         host_blocklist=blocked,
         repetition_thresholds=GOPHER_REPETITION_THRESHOLDS,
         pii_scrub=True,
@@ -448,6 +476,7 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
     assert not any("spam.example" in s for s, _, _ in got)
+    assert not any("noindexed.example" in s for s, _, _ in got)
 
     # and the batch pipeline accepts the same flags end to end
     triples = run_pipeline(spark.read.parquet(in_dir), gaz, **curation)
