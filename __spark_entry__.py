@@ -837,6 +837,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "canonical"
         )
 
+    def host_language_mixes(spark, sf):
+        # round 7: per-host language-count + dominant-language share
+        # (exact permyriad) — the content-farm signal; deterministic
+        # min-lang tie-break, null langs excluded
+        from esmarc_spark.ops.host_rollup import host_language_mix
+
+        return host_language_mix(_t(spark, sf, "documents")).orderBy("host")
+
     def quality_model_auc(spark, sf):
         # round 7: exact distributed ROC AUC (Mann-Whitney rank-sum,
         # average-rank ties, integer arithmetic through decimal(38,0))
@@ -1811,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_splits": leakage_safe_splits,
         "contamination_fractions": contamination_fractions,
         "quality_model_auc": quality_model_auc,
+        "host_language_mixes": host_language_mixes,
         "noindex_gate": noindex_gate,
         "rel_canonical_groups": rel_canonical_groups,
         "host_token_budget": host_token_budget,
@@ -2404,6 +2413,10 @@ FROM reach GROUP BY node ORDER BY uri
             "lang",
         )
         + " ORDER BY lang",
+        "host_language_mixes": __import__(
+            "esmarc_spark.ops.host_rollup", fromlist=["host_language_mix_sql"]
+        ).host_language_mix_sql("SELECT source, lang FROM documents")
+        + " ORDER BY host",
         "noindex_gate": "SELECT doc_id, url FROM ("
         + _PAGEMETA_SQL
         + ") WHERE html IS NULL OR NOT ("

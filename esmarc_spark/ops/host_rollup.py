@@ -175,3 +175,86 @@ SELECT community, n_hosts, n_docs,
          AS keep
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# per-host language mix (round 7)
+# ---------------------------------------------------------------------------
+#
+# Machine-translated content farms publish the SAME site in dozens of
+# languages under one host; organic hosts concentrate on one or two.
+# The language-mix rollup (language count + dominant-language share) is
+# the cheap host-level signal curation stacks use to route such hosts
+# into per-language gates or drop them outright. All-integer outputs
+# (top share as exact permyriad) so the rollup hash-matches at any
+# parallelism. Scale shape: groupBy(host, lang) partial-agg count
+# (bounded by hosts x languages, not rows), then a per-host fold over
+# the tiny (host, lang) relation.
+
+
+def host_language_mix(
+    documents: DataFrame,
+    host_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One row per host: ``n_docs``, ``n_langs``, ``top_lang`` (ties ->
+    bytewise-min language, a pure function of the input), and
+    ``top_share_permyriad`` = floor(1e4 * top-language count / n_docs).
+    NULL languages are excluded (no language evidence)."""
+    per = (
+        documents.where(F.col(lang_col).isNotNull())
+        .groupBy(
+            F.col(host_col).alias("host"), F.col(lang_col).alias("_lang")
+        )
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    # min of (-count, lang): the max-count language, min-lang tie-break
+    top = F.min(
+        F.struct((-F.col("_cnt")).alias("_nc"), F.col("_lang").alias("_l"))
+    ).alias("_top")
+    return (
+        per.groupBy("host")
+        .agg(
+            F.sum("_cnt").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            top,
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_langs",
+            F.col("_top._l").alias("top_lang"),
+            F.expr("(10000 * -_top._nc) div n_docs").alias(
+                "top_share_permyriad"
+            ),
+        )
+    )
+
+
+def host_language_mix_sql(
+    source_select: str,
+    host_col: str = "source",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB oracle: identical counts; the top language via a
+    row_number window ordered (count DESC, lang ASC) — a different
+    formulation of the same deterministic pick."""
+    return f"""
+WITH src AS ({source_select}),
+per AS (
+  SELECT {host_col} AS host, {lang_col} AS lang, COUNT(*) AS cnt
+  FROM src WHERE {lang_col} IS NOT NULL
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT host, lang, cnt,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY cnt DESC, lang ASC) AS rn,
+         CAST(SUM(cnt) OVER (PARTITION BY host) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) OVER (PARTITION BY host) AS BIGINT) AS n_langs
+  FROM per
+)
+SELECT host, n_docs, n_langs, lang AS top_lang,
+       (10000 * cnt) // n_docs AS top_share_permyriad
+FROM ranked WHERE rn = 1
+"""

@@ -242,3 +242,45 @@ def test_community_quality_rollup_drops_link_ring(spark):
     want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     got = sorted(tuple(r) for r in community_quality_rollup(docs, comm).collect())
     assert got == want
+
+
+def test_host_language_mix(spark):
+    # round 7: language-count + dominant-share rollup — exact permyriad,
+    # deterministic min-lang tie-break, null langs excluded
+    import duckdb
+
+    from esmarc_spark.ops.host_rollup import (
+        host_language_mix,
+        host_language_mix_sql,
+    )
+
+    rows = (
+        [("farm.example", "en")] * 2
+        + [("farm.example", "de")] * 2      # tie with en -> 'de' wins (min)
+        + [("farm.example", "fr")]
+        + [("mono.example", "en")] * 4
+        + [("mono.example", None)]          # excluded from counts
+        + [("dual.example", "en")] * 3
+        + [("dual.example", "zh")]
+    )
+    df = spark.createDataFrame(rows, "source string, lang string").repartition(7)
+    got = {
+        r.host: (r.n_docs, r.n_langs, r.top_lang, r.top_share_permyriad)
+        for r in host_language_mix(df).collect()
+    }
+    assert got["farm.example"] == (5, 3, "de", 4000)
+    assert got["mono.example"] == (4, 1, "en", 10000)
+    assert got["dual.example"] == (4, 2, "en", 7500)
+    vals = ", ".join(
+        "('{}', {})".format(s, "NULL" if l is None else f"'{l}'")
+        for s, l in rows
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in duckdb.sql(
+            host_language_mix_sql(
+                f"SELECT * FROM (VALUES {vals}) AS t(source, lang)"
+            )
+        ).fetchall()
+    }
+    assert got == want
