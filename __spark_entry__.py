@@ -90,6 +90,17 @@ _LG_PAGES_SQL = """SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
           ELSE '<a href="/relative/p">r</a>' END AS html
    FROM documents"""
 
+# shared anchor-page synthesis, oracle side (mirrors _anchor_pages)
+_ANCHOR_PAGES_SQL = """SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
+     || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+     '<a href="https://h' || CAST((doc_id * 13 + 7) % 97 AS VARCHAR)
+     || '.example/x">Brand ' || CAST(doc_id % 7 AS VARCHAR)
+     || ' Official</a><a href="https://h'
+     || CAST((doc_id * 29 + 3) % 61 AS VARCHAR)
+     || '.example/y" class="ext">Site '
+     || CAST(doc_id % 3 AS VARCHAR) || '</a>' AS html
+   FROM documents"""
+
 # shared fixture for the pagemeta queries (mirrors _pagemeta_docs)
 _PAGEMETA_SQL = """SELECT doc_id,
      'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
@@ -472,13 +483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "bench_id"
         )
 
-    def anchor_gazetteer(spark, sf):
-        # anchor-text surface-form harvesting: the tokens other pages
-        # use when linking to a host, counted by distinct linking page —
-        # web-scale gazetteer construction for the mention linker
+    def _anchor_pages(spark, sf):
+        # shared anchor fixture (doc_id kept for the incremental
+        # query's parity split); oracle side replays the synthesis
         from pyspark.sql import functions as F
-
-        from esmarc_spark.ops.linkgraph import harvest_anchor_texts
 
         d = F.col("doc_id")
         url = F.concat(
@@ -496,12 +504,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.pmod(d, F.lit(3)).cast("string"),
             F.lit("</a>"),
         )
-        pages = _t(spark, sf, "documents").select(
-            url.alias("url"), html.alias("html")
+        return _t(spark, sf, "documents").select(
+            "doc_id", url.alias("url"), html.alias("html")
         )
-        return harvest_anchor_texts(pages, min_pages=2).orderBy(
-            "host", "token"
-        )
+
+    def anchor_gazetteer(spark, sf):
+        # anchor-text surface-form harvesting: the tokens other pages
+        # use when linking to a host, counted by distinct linking page —
+        # web-scale gazetteer construction for the mention linker
+        from esmarc_spark.ops.linkgraph import harvest_anchor_texts
+
+        return harvest_anchor_texts(
+            _anchor_pages(spark, sf), min_pages=2
+        ).orderBy("host", "token")
+
+    def anchor_gazetteer_incremental(spark, sf):
+        # round 7: per-dump anchor-vote state — the same pages committed
+        # as TWO dumps (doc_id parity) through
+        # ops.linkgraph_incremental.ingest_anchor_dump must reproduce
+        # from-scratch harvesting over the union byte-for-byte; the
+        # oracle is the SAME harvest SQL the one-shot query uses, so a
+        # hash match proves the distinct-vote merge contract end to end
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.linkgraph_incremental import ingest_anchor_dump
+
+        pages = _anchor_pages(spark, sf)
+        even = pages.where(F.col("doc_id") % 2 == 0)
+        odd = pages.where(F.col("doc_id") % 2 == 1)
+        root = tempfile.mkdtemp(prefix="gazstate_")
+        try:
+            ingest_anchor_dump(spark, even, root, "even", min_pages=2)
+            gaz = ingest_anchor_dump(spark, odd, root, "odd", min_pages=2)
+            out = gaz.orderBy("host", "token")
+            out = spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return out
 
     def web_curation_pipeline(spark, sf):
         # round-6 capstone COMPOSITION: build the host link graph from
@@ -1810,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fill the tail. Reorder every round as code changes.
     return {
         # -- (1) new in round 7 ------------------------------------------
+        "anchor_gazetteer_incremental": anchor_gazetteer_incremental,
         "host_pagerank_incremental": host_pagerank_incremental,
         "fix_mojibake_deep": fix_mojibake_deep,
         "graph_gated_docs": graph_gated_docs,
@@ -2109,18 +2152,13 @@ GROUP BY lang_guess ORDER BY lang_guess
         + " ORDER BY doc_id",
         "anchor_gazetteer": __import__(
             "esmarc_spark.ops.linkgraph", fromlist=["harvest_anchor_texts_sql"]
-        ).harvest_anchor_texts_sql(
-            """SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
-                 || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
-                 '<a href="https://h' || CAST((doc_id * 13 + 7) % 97 AS VARCHAR)
-                 || '.example/x">Brand ' || CAST(doc_id % 7 AS VARCHAR)
-                 || ' Official</a><a href="https://h'
-                 || CAST((doc_id * 29 + 3) % 61 AS VARCHAR)
-                 || '.example/y" class="ext">Site '
-                 || CAST(doc_id % 3 AS VARCHAR) || '</a>' AS html
-               FROM documents""",
-            2,
-        )
+        ).harvest_anchor_texts_sql(_ANCHOR_PAGES_SQL, 2)
+        + " ORDER BY host, token",
+        # incremental two-dump commit must equal from-scratch harvesting
+        # over the union, so it shares the one-shot oracle verbatim
+        "anchor_gazetteer_incremental": __import__(
+            "esmarc_spark.ops.linkgraph", fromlist=["harvest_anchor_texts_sql"]
+        ).harvest_anchor_texts_sql(_ANCHOR_PAGES_SQL, 2)
         + " ORDER BY host, token",
         "dedup_lines": "SELECT doc_id, kept_lines, md5(text) AS text_md5 FROM ("
         + __import__(

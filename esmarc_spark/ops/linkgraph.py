@@ -460,16 +460,16 @@ def host_communities_sql(pages_sql: str, iterations: int = 4) -> str:
 ANCHOR_PATTERN = r'<a href="[^"]*"[^>]*>[^<]*</a>'
 
 
-def harvest_anchor_texts(
+def anchor_votes(
     pages: DataFrame,
-    min_pages: int = 2,
     url_col: str = "url",
     html_col: str = "html",
 ) -> DataFrame:
-    """(host, token, n_pages): lowercased anchor-text tokens pointing at
-    a host, counted by distinct linking page, thresholded at min_pages.
-    Self-links are excluded (a site's own nav anchors describe its
-    layout, not its name)."""
+    """Distinct (host, token, src) anchor votes: linking page host
+    ``src`` used ``token`` in anchor text pointing at ``host``. This is
+    the per-dump unit of anchor-gazetteer state (the distinct-vote
+    relation unions losslessly across dumps, unlike the thresholded
+    counts), persisted by ``ops.linkgraph_incremental.AnchorState``."""
     elems = pages.select(
         host_of(F.col(url_col)).alias("src"),
         F.explode(
@@ -487,12 +487,31 @@ def harvest_anchor_texts(
         & (F.col("src") != F.col("dst"))
         & (F.col("token") != "")
     )
+    return toks.select(F.col("dst").alias("host"), "token", "src").distinct()
+
+
+def gazetteer_from_votes(votes: DataFrame, min_pages: int = 2) -> DataFrame:
+    """(host, token, n_pages) from a distinct-vote relation — the
+    count + threshold half of :func:`harvest_anchor_texts`."""
     return (
-        toks.select("dst", "token", "src")
-        .distinct()
-        .groupBy(F.col("dst").alias("host"), "token")
+        votes.groupBy("host", "token")
         .agg(F.count(F.lit(1)).alias("n_pages"))
         .where(F.col("n_pages") >= min_pages)
+    )
+
+
+def harvest_anchor_texts(
+    pages: DataFrame,
+    min_pages: int = 2,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(host, token, n_pages): lowercased anchor-text tokens pointing at
+    a host, counted by distinct linking page, thresholded at min_pages.
+    Self-links are excluded (a site's own nav anchors describe its
+    layout, not its name)."""
+    return gazetteer_from_votes(
+        anchor_votes(pages, url_col, html_col), min_pages
     )
 
 

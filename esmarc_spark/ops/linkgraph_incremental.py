@@ -145,3 +145,82 @@ def authority_ranks(spark: SparkSession, state_root: str) -> DataFrame | None:
     """Convenience: the persisted authority dim for the prepare_docs
     host-authority gate (None before the first committed dump)."""
     return LinkGraphState(state_root).ranks(spark)
+
+
+# ---------------------------------------------------------------------------
+# incremental anchor-text gazetteer (round 7)
+# ---------------------------------------------------------------------------
+#
+# Same per-dump-delta pattern for the anchor-text gazetteer
+# (ops.linkgraph.harvest_anchor_texts). The unit of state is the
+# DISTINCT (host, token, src) vote relation, NOT the thresholded
+# counts: distinct votes union losslessly across dumps (a (host, token,
+# src) triple seen in two dumps is still ONE distinct linking-page
+# vote), while per-dump counts would double-count repeat voters and
+# per-dump thresholded gazetteers would lose tokens that only cross
+# min_pages across dumps. The vote relation is host-vocabulary sized
+# (~10^8 hosts x short anchor vocab), 4+ orders of magnitude below the
+# page corpus, so a new dump pays HTML anchor extraction only for its
+# own pages and the merge is cheap by construction — the exact shape
+# the edge-delta state above uses.
+
+
+class AnchorState:
+    """Persisted per-dump anchor votes under ``state_root``:
+
+    * ``votes/dump=<id>/`` parquet (host, token, src) — the dump's
+      distinct anchor votes
+    * ``_STATE``           JSON {"dumps": [...]} — atomic commit point
+    """
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def manifest(self) -> dict:
+        raw = fsio.read_text(fsio.join(self.root, "_STATE"))
+        if raw is None:
+            return {"dumps": []}
+        return json.loads(raw)
+
+    def votes(self, spark: SparkSession) -> DataFrame | None:
+        """Merged distinct votes over every committed dump."""
+        dumps = self.manifest()["dumps"]
+        if not dumps:
+            return None
+        paths = [fsio.join(self.root, "votes", f"dump={d}") for d in dumps]
+        return (
+            spark.read.parquet(*paths).select("host", "token", "src").distinct()
+        )
+
+    def _publish(self, dumps: list[str]) -> None:
+        fsio.write_text_atomic(
+            fsio.join(self.root, "_STATE"), json.dumps({"dumps": dumps})
+        )
+
+
+def ingest_anchor_dump(
+    spark: SparkSession,
+    pages: DataFrame,
+    state_root: str,
+    dump_id: str,
+    min_pages: int = 2,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Commit one dump's anchor votes and return the refreshed
+    (host, token, n_pages) gazetteer over ALL committed dumps —
+    byte-identical to from-scratch ``harvest_anchor_texts`` over the
+    concatenated dumps (tested): distinct-of-union-of-per-dump-distincts
+    is the same relation as one global distinct. Idempotent per
+    dump_id; a crash between the vote write and the marker is healed by
+    the deterministic rerun overwriting the orphan dir."""
+    from esmarc_spark.ops.linkgraph import anchor_votes, gazetteer_from_votes
+
+    st = AnchorState(state_root)
+    manifest = st.manifest()
+    if dump_id not in manifest["dumps"]:
+        anchor_votes(pages, url_col, html_col).write.mode("overwrite").parquet(
+            fsio.join(st.root, "votes", f"dump={dump_id}")
+        )
+        st._publish(manifest["dumps"] + [dump_id])
+    return gazetteer_from_votes(st.votes(spark), min_pages)

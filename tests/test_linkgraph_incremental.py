@@ -167,3 +167,95 @@ def test_manifest_is_versioned_json(spark, tmp_path):
     ingest_pages_dump(spark, _pages(spark, 0, 30), root, "2024-01")
     raw = json.loads(open(f"{root}/_STATE").read())
     assert raw == {"dumps": ["2024-01"], "ranks_version": 1}
+
+# ---------------------------------------------------------------------------
+# incremental anchor-text gazetteer state
+# ---------------------------------------------------------------------------
+
+from esmarc_spark.ops.linkgraph import harvest_anchor_texts  # noqa: E402
+from esmarc_spark.ops.linkgraph_incremental import (  # noqa: E402
+    AnchorState,
+    ingest_anchor_dump,
+)
+
+
+def _apages(spark, lo, hi, hosts=13):
+    """Pages whose anchor text varies with doc id: doc i on host i%hosts
+    links to host (i*7+3)%hosts calling it 'name<dst> corp' — the same
+    (host, token, src) vote recurs across dumps whenever the (i%hosts,
+    (i*7+3)%hosts) pair recurs, exercising the distinct-union merge."""
+    d = F.col("id")
+    dst = F.pmod(d * 7 + 3, F.lit(hosts)).cast("string")
+    url = F.concat(
+        F.lit("https://h"), F.pmod(d, F.lit(hosts)).cast("string"),
+        F.lit(".example/p/"), d.cast("string"),
+    )
+    html = F.concat(
+        F.lit('<a href="https://h'), dst, F.lit('.example/x">name'),
+        dst, F.lit(" corp</a>"),
+    )
+    return spark.range(lo, hi).select(url.alias("url"), html.alias("html"))
+
+
+def _gazmap(df):
+    return {(r["host"], r["token"]): r["n_pages"] for r in df.collect()}
+
+
+def test_anchor_incremental_equals_from_scratch_per_dump(spark, tmp_path):
+    root = str(tmp_path / "gaz")
+    dumps = [(0, 30), (30, 70), (70, 120)]
+    for n, (lo, hi) in enumerate(dumps):
+        got = ingest_anchor_dump(spark, _apages(spark, lo, hi), root, f"d{n}")
+        want = harvest_anchor_texts(_apages(spark, 0, hi))
+        assert _gazmap(got) == _gazmap(want), f"dump {n} diverged"
+
+
+def test_anchor_repeat_voter_across_dumps_counts_once(spark, tmp_path):
+    """The SAME (host, token, src) vote committed in two dumps is one
+    distinct linking-page vote, exactly as from-scratch over the union."""
+    root = str(tmp_path / "gaz")
+    ingest_anchor_dump(spark, _apages(spark, 0, 26), root, "d0")
+    # second dump repeats the same id range: identical votes
+    got = ingest_anchor_dump(spark, _apages(spark, 0, 26), root, "d1")
+    want = harvest_anchor_texts(_apages(spark, 0, 26))
+    assert _gazmap(got) == _gazmap(want)
+
+
+def test_anchor_threshold_crossed_only_across_dumps(spark, tmp_path):
+    """A token below min_pages in every single dump must surface once
+    the MERGED distinct votes cross it — per-dump thresholded
+    gazetteers would lose it (the reason state = votes, not counts)."""
+    def one_vote(src_host, dst_host):
+        return spark.range(0, 1).select(
+            F.lit(f"https://{src_host}.example/p").alias("url"),
+            F.lit(
+                f'<a href="https://{dst_host}.example/x">acme widgets</a>'
+            ).alias("html"),
+        )
+
+    root = str(tmp_path / "gaz")
+    g1 = ingest_anchor_dump(spark, one_vote("a", "t"), root, "d0", min_pages=2)
+    assert _gazmap(g1) == {}  # one vote, below threshold
+    g2 = ingest_anchor_dump(spark, one_vote("b", "t"), root, "d1", min_pages=2)
+    assert _gazmap(g2) == {
+        ("t.example", "acme"): 2,
+        ("t.example", "widgets"): 2,
+    }
+
+
+def test_anchor_replay_idempotent_and_crash_healed(spark, tmp_path):
+    from esmarc_spark.ops.linkgraph import anchor_votes
+
+    root = str(tmp_path / "gaz")
+    ingest_anchor_dump(spark, _apages(spark, 0, 30), root, "d0")
+    before = AnchorState(root).manifest()
+    again = ingest_anchor_dump(spark, _apages(spark, 0, 30), root, "d0")
+    assert AnchorState(root).manifest() == before
+    assert _gazmap(again) == _gazmap(harvest_anchor_texts(_apages(spark, 0, 30)))
+    # orphan votes dir without marker: rerun overwrites and commits
+    anchor_votes(_apages(spark, 500, 510)).write.mode("overwrite").parquet(
+        f"{root}/votes/dump=d1"
+    )
+    assert AnchorState(root).manifest()["dumps"] == ["d0"]
+    got = ingest_anchor_dump(spark, _apages(spark, 30, 70), root, "d1")
+    assert _gazmap(got) == _gazmap(harvest_anchor_texts(_apages(spark, 0, 70)))
