@@ -1782,6 +1782,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def training_release_card(spark, sf):
+        # round 7 capstone COMPOSITION: leakage-safe cluster-consistent
+        # split over the full corpus -> C4 blocklist gate -> per-split
+        # data card (docs/tokens/chars/lang+source diversity/dominant
+        # language, all exact ints) — the release-description chain
+        # every published LLM corpus ships with; the oracle replays
+        # split (RECURSIVE-CTE clustering), gate (identical pattern),
+        # and card stage-SQL-into-stage-SQL
+        from esmarc_spark.ops.datacard import training_release
+
+        return training_release(
+            _t(spark, sf, "documents"),
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            salt="split-v1",
+        ).orderBy("split")
+
     def host_token_budget(spark, sf):
         # round 7: FineWeb-style per-host token cap — each host keeps
         # its best documents (exact-int quality order) until the token
@@ -1852,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fill the tail. Reorder every round as code changes.
     return {
         # -- (1) new in round 7 ------------------------------------------
+        "training_release_card": training_release_card,
         "anchor_gazetteer_incremental": anchor_gazetteer_incremental,
         "host_pagerank_incremental": host_pagerank_incremental,
         "fix_mojibake_deep": fix_mojibake_deep,
@@ -2253,6 +2270,12 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "training_release_card": __import__(
+            "esmarc_spark.ops.datacard", fromlist=["training_release_sql"]
+        ).training_release_sql(
+            {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split-v1"
+        )
+        + " ORDER BY split",
         "split_assignments": __import__(
             "esmarc_spark.ops.sampling", fromlist=["assign_split_sql"]
         ).assign_split_sql(
