@@ -101,6 +101,23 @@ _ANCHOR_PAGES_SQL = """SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR)
      || CAST(doc_id % 3 AS VARCHAR) || '</a>' AS html
    FROM documents"""
 
+# shared robots.txt fixtures (Spark gets them via F.lit, the oracle
+# embeds them as multi-line SQL literals — same bytes both ways)
+_ROBOTS_STAR = (
+    "# corpus robots\n"
+    "User-agent: specialbot\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: extra\n"
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok\n"
+    "Disallow: /tmp/*.html$\n"
+    "Allow:\n"
+    "Crawl-delay: 10\n"
+)
+_ROBOTS_NOSTAR = "User-agent: specialbot\nDisallow: /"
+
 # shared fixture for the pagemeta queries (mirrors _pagemeta_docs)
 _PAGEMETA_SQL = """SELECT doc_id,
      'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
@@ -1782,6 +1799,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def robots_verdicts_urls(spark, sf):
+        # round 7: RFC 9309 robots.txt gate — grouped-agent parsing
+        # (stacked UA lines, '*' selection), in-engine wildcard/$ rule
+        # compilation, longest-match with Allow winning ties; per-url
+        # verdict with the winning rule exposed. Hosts alternate a
+        # star-block robots and a specialbot-only one (which must gate
+        # nothing for us)
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.robots import parse_robots, robots_verdicts
+
+        d = F.col("doc_id")
+        path = (
+            F.when(d % 5 == 0, F.concat(F.lit("/private/p"), d.cast("string")))
+            .when(d % 5 == 1, F.concat(F.lit("/private/ok/p"), d.cast("string")))
+            .when(d % 5 == 2, F.concat(F.lit("/pub/p"), d.cast("string")))
+            .when(
+                d % 5 == 3,
+                F.concat(F.lit("/tmp/p"), d.cast("string"), F.lit(".html")),
+            )
+            .otherwise(
+                F.concat(F.lit("/tmp/p"), d.cast("string"), F.lit(".html?x=1"))
+            )
+        )
+        docs = _t(spark, sf, "documents")
+        pages = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://s"), F.pmod(d, F.lit(7)).cast("string"),
+                F.lit(".example"), path,
+            ).alias("url"),
+        )
+        robots = (
+            docs.select(F.pmod(d, F.lit(7)).alias("r"))
+            .distinct()
+            .select(
+                F.concat(
+                    F.lit("s"), F.col("r").cast("string"), F.lit(".example")
+                ).alias("host"),
+                F.when(F.col("r") % 2 == 0, F.lit(_ROBOTS_STAR))
+                .otherwise(F.lit(_ROBOTS_NOSTAR))
+                .alias("robots_txt"),
+            )
+        )
+        return robots_verdicts(pages, parse_robots(robots)).orderBy("key")
+
     def training_release_card(spark, sf):
         # round 7 capstone COMPOSITION: leakage-safe cluster-consistent
         # split over the full corpus -> C4 blocklist gate -> per-split
@@ -1868,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fill the tail. Reorder every round as code changes.
     return {
         # -- (1) new in round 7 ------------------------------------------
+        "robots_verdicts_urls": robots_verdicts_urls,
         "training_release_card": training_release_card,
         "anchor_gazetteer_incremental": anchor_gazetteer_incremental,
         "host_pagerank_incremental": host_pagerank_incremental,
@@ -2270,6 +2334,28 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "robots_verdicts_urls": __import__(
+            "esmarc_spark.ops.robots", fromlist=["robots_verdicts_sql"]
+        ).robots_verdicts_sql(
+            """SELECT doc_id AS key,
+                 'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example' ||
+                 CASE WHEN doc_id % 5 = 0
+                        THEN '/private/p' || CAST(doc_id AS VARCHAR)
+                      WHEN doc_id % 5 = 1
+                        THEN '/private/ok/p' || CAST(doc_id AS VARCHAR)
+                      WHEN doc_id % 5 = 2
+                        THEN '/pub/p' || CAST(doc_id AS VARCHAR)
+                      WHEN doc_id % 5 = 3
+                        THEN '/tmp/p' || CAST(doc_id AS VARCHAR) || '.html'
+                      ELSE '/tmp/p' || CAST(doc_id AS VARCHAR) || '.html?x=1'
+                 END AS url
+               FROM documents""",
+            f"""SELECT 's' || CAST(r AS VARCHAR) || '.example' AS host,
+                 CASE WHEN r % 2 = 0 THEN '{_ROBOTS_STAR}'
+                      ELSE '{_ROBOTS_NOSTAR}' END AS robots_txt
+               FROM (SELECT DISTINCT doc_id % 7 AS r FROM documents)""",
+        )
+        + " ORDER BY key",
         "training_release_card": __import__(
             "esmarc_spark.ops.datacard", fromlist=["training_release_sql"]
         ).training_release_sql(
