@@ -1799,6 +1799,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def doc_keywords(spark, sf):
+        # round 7: exact-integer tf-idf keyword extraction — corpus df
+        # computed by reusing the tf relation (one text scan, text never
+        # shuffles), top-3 per doc with bytewise tie-break
+        from esmarc_spark.ops.keywords import extract_keywords
+
+        return extract_keywords(_t(spark, sf, "documents"), k=3).orderBy(
+            "doc_id", "rank"
+        )
+
     def robots_verdicts_urls(spark, sf):
         # round 7: RFC 9309 robots.txt gate — grouped-agent parsing
         # (stacked UA lines, '*' selection), in-engine wildcard/$ rule
@@ -1931,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fill the tail. Reorder every round as code changes.
     return {
         # -- (1) new in round 7 ------------------------------------------
+        "doc_keywords": doc_keywords,
         "robots_verdicts_urls": robots_verdicts_urls,
         "training_release_card": training_release_card,
         "anchor_gazetteer_incremental": anchor_gazetteer_incremental,
@@ -2334,6 +2345,10 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "doc_keywords": __import__(
+            "esmarc_spark.ops.keywords", fromlist=["extract_keywords_sql"]
+        ).extract_keywords_sql("SELECT doc_id, text FROM documents", 3)
+        + " ORDER BY doc_id, rank",
         "robots_verdicts_urls": __import__(
             "esmarc_spark.ops.robots", fromlist=["robots_verdicts_sql"]
         ).robots_verdicts_sql(

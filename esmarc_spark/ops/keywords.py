@@ -1,0 +1,127 @@
+"""Per-document keyword extraction by corpus-weighted term scoring —
+the classic tf-idf family, in the exact-integer dialect this repo's
+cross-engine contract requires.
+
+Curation stacks use per-doc keywords for topic routing, search-index
+seeding, and cheap document fingerprints (the reference's analogue is
+its subject/topic field extraction, esmarc.py getentity/handle_about —
+but web pages have no cataloged subjects, so the corpus statistics ARE
+the cataloger). Scoring is ``score_scaled = floor(1e6 * tf / df)`` —
+corpus-frequency-inverse weighting (tf-icf). This is deliberately NOT
+the textbook ``tf * log(N/df)``: a float log cannot hash-match across
+engines, while the integer ratio is bit-identical at any parallelism,
+and both weightings agree on the decisions that matter here (function
+words with df ~ N sink to the bottom; rare-but-repeated terms rise).
+
+Scale shape: tokenize/normalize is map-only codegen; ``tf`` is one
+partial-agg groupBy on (doc_id, term); ``df`` REUSES the tf relation
+(already distinct per doc-term, pinned by a lazy localCheckpoint so
+Catalyst cannot plan a second corpus scan) with a second partial-agg
+groupBy — the corpus is scanned once, text never shuffles, only
+(doc_id, term, count) triples do. The join back is term-keyed (vocabulary-sized side,
+Zipf-headed but partial aggs absorbed the heavy keys already); the
+top-k window partitions by doc_id over that doc's distinct terms —
+bounded per key, never a corpus sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# strip leading/trailing non-alphanumerics from whitespace tokens; one
+# canonical pattern shared with the oracle (Java regex and RE2 read it
+# identically; ASCII classes keep the two engines' case tables out)
+_EDGE_PUNCT = "^[^a-z0-9]+|[^a-z0-9]+$"
+_SCALE = 1_000_000
+
+
+def doc_terms(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+) -> DataFrame:
+    """(doc_id, term) occurrences: lowercased whitespace tokens with
+    edge punctuation stripped, shorter than ``min_len`` dropped."""
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_t"),
+    ).select(
+        "doc_id",
+        F.regexp_replace("_t", F.lit(_EDGE_PUNCT), F.lit("")).alias("term"),
+    )
+    return toks.where(F.length("term") >= min_len)
+
+
+def extract_keywords(
+    documents: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+) -> DataFrame:
+    """Top-``k`` keywords per document: (doc_id, term, tf, df,
+    score_scaled, rank) with rank 1..k ordered (score DESC, term ASC —
+    ties pinned bytewise, a pure function of the corpus)."""
+    tf = (
+        doc_terms(documents, text_col, id_col, min_len)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # without this, Catalyst plans the df branch as a SECOND full
+        # scan + tokenize of the corpus (verified via explain); the lazy
+        # checkpoint materializes tf once and both branches reuse it
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr(f"(tf * {_SCALE}) div df").alias("score_scaled"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def extract_keywords_sql(
+    source_select: str, k: int = 5, min_len: int = 3
+) -> str:
+    """DuckDB oracle over a relation with (doc_id, text): identical
+    normalization pattern, counts, integer scoring, and tie-break."""
+    return f"""
+WITH _toks AS (
+  SELECT doc_id,
+         regexp_replace(t, '{_EDGE_PUNCT}', '', 'g') AS term
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+    FROM ({source_select})
+  )
+),
+_tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM _toks WHERE length(term) >= {min_len}
+  GROUP BY 1, 2
+),
+_df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM _tf GROUP BY 1
+),
+_scored AS (
+  SELECT doc_id, term, tf, df,
+         (tf * {_SCALE}) // df AS score_scaled
+  FROM _tf JOIN _df USING (term)
+)
+SELECT doc_id, term, tf, df, score_scaled,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_scaled DESC, term ASC)
+            AS BIGINT) AS rank
+FROM _scored
+QUALIFY rank <= {k}
+"""

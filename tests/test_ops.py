@@ -887,3 +887,70 @@ def test_contamination_fraction_duckdb_parity(spark):
     assert got == want and len(got) == 40
     fracs = {r[3] for r in got}
     assert max(fracs) == 10000 and len(fracs) > 2  # bench members + a spread
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_keywords_exact_scoring_and_ties(spark):
+    """Hand-computable corpus: common terms sink via df, rank ties pin
+    bytewise, edge punctuation strips, short tokens drop."""
+    from esmarc_spark.ops.keywords import extract_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quantum cat saw the quantum (cat)"),
+            (2, "the dog saw the cat"),
+            (3, "quantum physics, is physics"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = extract_keywords(docs, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score_scaled"])
+           for r in rows}
+    # doc 1: quantum tf=2 df=2 -> 1.0; cat tf=2 df=2 -> 1.0; tie -> 'cat' first
+    assert got[(1, 1)] == ("cat", 2, 2, 1_000_000)
+    assert got[(1, 2)] == ("quantum", 2, 2, 1_000_000)
+    # doc 2: dog tf=1 df=1 beats cat/saw/the (higher df)
+    assert got[(2, 1)] == ("dog", 1, 1, 1_000_000)
+    # doc 3: physics tf=2 df=1 -> 2.0 on top ('physics,' stripped to 'physics')
+    assert got[(3, 1)] == ("physics", 2, 1, 2_000_000)
+    # 'is' dropped by min_len, 'the' never ranks above content terms here
+    assert all(t not in ("is", "the") or s > 0 for t, _, _, s in got.values())
+
+
+def test_extract_keywords_duckdb_parity_and_partitions(spark):
+    import duckdb
+
+    from esmarc_spark.ops.keywords import extract_keywords, extract_keywords_sql
+
+    from pyspark.sql import functions as F
+
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta (gamma) topic"),
+            F.pmod("id", F.lit(9)).cast("string"),
+            F.lit(" topic"),
+            F.pmod("id", F.lit(9)).cast("string"),
+            F.lit(" rare"),
+            F.col("id").cast("string"),
+            F.lit(" the of and x y"),
+        ).alias("text"),
+    )
+    got = sorted(tuple(r) for r in extract_keywords(docs, k=3).collect())
+    got7 = sorted(
+        tuple(r) for r in extract_keywords(docs.repartition(7), k=3).collect()
+    )
+    assert got == got7
+    con = duckdb.connect()
+    con.register("d", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            extract_keywords_sql("SELECT doc_id, text FROM d", 3)
+        ).fetchall()
+    )
+    assert got == want and len(got) == 360
