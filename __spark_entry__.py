@@ -1799,6 +1799,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def kg_two_hop(spark, sf):
+        # round 7: 2-hop property path over the emitted KG — page
+        # -mentions-> entity -sameAs-> authority URI, with an explicit
+        # in-degree hub guard (part of the declared semantics, replayed
+        # by the oracle) so a celebrity entity can never explode the
+        # mid-key join at web scale
+        from esmarc_spark.ops.kg_documents import doc_triples
+        from esmarc_spark.ops.kg_paths import two_hop_paths
+
+        return two_hop_paths(
+            doc_triples(_t(spark, sf, "documents")),
+            "mentions",
+            "sameAs",
+            max_mid_in=400,
+        ).orderBy("subj", "mid", "obj")
+
     def doc_keywords(spark, sf):
         # round 7: exact-integer tf-idf keyword extraction — corpus df
         # computed by reusing the tf relation (one text scan, text never
@@ -1941,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fill the tail. Reorder every round as code changes.
     return {
         # -- (1) new in round 7 ------------------------------------------
+        "kg_two_hop": kg_two_hop,
         "doc_keywords": doc_keywords,
         "robots_verdicts_urls": robots_verdicts_urls,
         "training_release_card": training_release_card,
@@ -2345,6 +2362,17 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "kg_two_hop": __import__(
+            "esmarc_spark.ops.kg_paths", fromlist=["two_hop_paths_sql"]
+        ).two_hop_paths_sql(
+            __import__(
+                "esmarc_spark.ops.kg_documents", fromlist=["DOC_TRIPLES_SQL"]
+            ).DOC_TRIPLES_SQL,
+            "mentions",
+            "sameAs",
+            max_mid_in=400,
+        )
+        + " ORDER BY subj, mid, obj",
         "doc_keywords": __import__(
             "esmarc_spark.ops.keywords", fromlist=["extract_keywords_sql"]
         ).extract_keywords_sql("SELECT doc_id, text FROM documents", 3)

@@ -954,3 +954,65 @@ def test_extract_keywords_duckdb_parity_and_partitions(spark):
         ).fetchall()
     )
     assert got == want and len(got) == 360
+
+
+# ---------------------------------------------------------------------------
+# 2-hop property paths with hub guards (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_two_hop_paths_and_hub_caps(spark):
+    import duckdb
+
+    from esmarc_spark.ops.kg_paths import two_hop_paths, two_hop_paths_sql
+
+    triples = [
+        ("a", "mentions", "m1"),
+        ("b", "mentions", "m1"),
+        ("m1", "sameAs", "x"),
+        ("m1", "sameAs", "y"),
+        # hub middle: 3 in-edges
+        ("a", "mentions", "hub"),
+        ("b", "mentions", "hub"),
+        ("c", "mentions", "hub"),
+        ("hub", "sameAs", "z"),
+        # unrelated predicate never traversed
+        ("a", "links", "m1"),
+    ]
+    t = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    free = sorted(
+        tuple(r) for r in two_hop_paths(t, "mentions", "sameAs").collect()
+    )
+    assert free == [
+        ("a", "hub", "z"), ("a", "m1", "x"), ("a", "m1", "y"),
+        ("b", "hub", "z"), ("b", "m1", "x"), ("b", "m1", "y"),
+        ("c", "hub", "z"),
+    ]
+    capped_in = sorted(
+        tuple(r)
+        for r in two_hop_paths(t, "mentions", "sameAs", max_mid_in=2).collect()
+    )
+    assert capped_in == [  # hub (indeg 3) excluded entirely
+        ("a", "m1", "x"), ("a", "m1", "y"),
+        ("b", "m1", "x"), ("b", "m1", "y"),
+    ]
+    capped_out = sorted(
+        tuple(r)
+        for r in two_hop_paths(t, "mentions", "sameAs", max_mid_out=1).collect()
+    )
+    assert capped_out == [("a", "hub", "z"), ("b", "hub", "z"), ("c", "hub", "z")]
+    # oracle replays all three shapes
+    con = duckdb.connect()
+    con.register("t", t.toPandas())
+    for kw, got in [
+        ({}, free),
+        ({"max_mid_in": 2}, capped_in),
+        ({"max_mid_out": 1}, capped_out),
+    ]:
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                two_hop_paths_sql("SELECT * FROM t", "mentions", "sameAs", **kw)
+            ).fetchall()
+        )
+        assert got == want, kw
