@@ -1949,14 +1949,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("lang", "q_permyriad")
 
     # DICT ORDER IS THE VERIFICATION WINDOW (round 7 — VERDICT r6 #1):
-    # the driver's correctness gate checks the FIRST 50 entries, so the
-    # ordering policy is: (1) queries new this round, (2) queries that
-    # have never had a driver CORRECTNESS row, (3) queries whose code
-    # was touched this round, (4) queries with exactly one green driver
-    # row; the long-stable r1-r5 singletons (6 rounds of green rows)
-    # fill the tail. Reorder every round as code changes.
+    # the driver's correctness gate checks the FIRST 50 entries. Policy:
+    # sort ascending by number of green CORRECTNESS_r* rows (zero-row =
+    # new/never-checked first), break ties toward code-touched-this-
+    # round queries, then original position. The audit script for the
+    # reorder is the green-count sweep over CORRECTNESS_r01..r0N —
+    # re-run it every round as queries are added or code changes.
     return {
-        # -- (1) new in round 7 ------------------------------------------
+        # -- zero driver rows yet: new round-7 queries -------------------
         "kg_two_hop": kg_two_hop,
         "doc_keywords": doc_keywords,
         "robots_verdicts_urls": robots_verdicts_urls,
@@ -1978,19 +1978,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_revisit_diff": url_revisit_diff,
         "corpus_quantiles": corpus_quantiles,
         "bpe_pair_counts": bpe_pair_counts,
-        # -- (2) never driver-checked before round 7 ---------------------
         "host_clustering": host_clustering,
         "kg_sameas_canonical": kg_sameas_canonical,
         "fix_mojibake": fix_mojibake,
-        "dedup_exact_groups": dedup_exact_groups,
-        "dedup_lsh_pairs": dedup_lsh_pairs,
-        "dedup_jaccard": dedup_jaccard,
-        "dedup_simhash": dedup_simhash,
-        "sim_topk": sim_topk,
-        "sim_near_dups": sim_near_dups,
+        # -- exactly one green driver row (r6 first-timers + refactor-
+        #    touched anchor_gazetteer first) ---------------------------
+        "anchor_gazetteer": anchor_gazetteer,
+        "dedup_lines": dedup_lines,
+        "dedup_spans": dedup_spans,
+        "dedup_incremental_survivors": dedup_incremental_survivors,
+        "host_pagerank": host_pagerank,
+        "web_curation_pipeline": web_curation_pipeline,
+        "host_communities": host_communities,
+        "host_triangles": host_triangles,
+        "kg_disambiguated": kg_disambiguated,
+        "kg_negative_samples": kg_negative_samples,
+        "community_quality": community_quality,
+        "bm25_search": bm25_search,
+        "lm_perplexity": lm_perplexity,
+        "quality_model_scores": quality_model_scores,
+        "token_counts_bpe": token_counts_bpe,
+        "dsir_sample": dsir_sample,
+        "semdedup_prune": semdedup_prune,
+        "decontaminate_exact_ngrams": decontaminate_exact_ngrams,
+        "badwords_gate": badwords_gate,
+        "host_quality_rollup": host_quality_rollup,
+        "token_shards": token_shards,
+        # -- 2+ green rows: lowest counts fill the window's last slots --
+        "sample_stratified": sample_stratified,
+        "crawl_pipeline": crawl_pipeline,
+        "host_blocklist": host_blocklist,
+        "text_repetition": text_repetition,
+        "pii_scrub": pii_scrub,
+        # ======= driver window ends here (first 50 entries) =======
+        # -- long-stable tail (3-6 green rows each) ---------------------
+        "chunk_windows": chunk_windows,
+        "dedup_survivors": dedup_survivors,
+        "decontaminate_pairs": decontaminate_pairs,
+        "warc_quarantine": warc_quarantine,
+        "url_canonical_groups": url_canonical_groups,
+        "boilerplate_main_text": boilerplate_main_text,
         "sim_near_dups_bucketed": sim_near_dups_bucketed,
-        "events_asof": events_asof,
-        "media_stats": media_stats,
         "media_features": media_features,
         "curate_docs": curate_docs,
         "enrich_entityfacts_docs": enrich_entityfacts_docs,
@@ -1999,35 +2027,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_sitelinks_docs": enrich_sitelinks_docs,
         "enrich_categories_docs": enrich_categories_docs,
         "enrich_geonames_docs": enrich_geonames_docs,
+        "text_lang_counts": text_lang_counts,
+        "marc_quarantine_counts": marc_quarantine_counts,
+        "warc_ingest": warc_ingest,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_lsh_pairs": dedup_lsh_pairs,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "sim_topk": sim_topk,
+        "sim_near_dups": sim_near_dups,
+        "events_asof": events_asof,
+        "media_stats": media_stats,
         "marc_fixture_triples": marc_fixture_triples,
-        # -- (3) code touched in round 7 ---------------------------------
-        "dedup_lines": dedup_lines,
-        "dedup_spans": dedup_spans,
-        "dedup_incremental_survivors": dedup_incremental_survivors,
-        "host_pagerank": host_pagerank,
-        "web_curation_pipeline": web_curation_pipeline,
-        "sample_stratified": sample_stratified,
-        "crawl_pipeline": crawl_pipeline,
-        # -- (4) exactly one green driver row so far ---------------------
-        "host_communities": host_communities,
-        "host_triangles": host_triangles,
-        "kg_disambiguated": kg_disambiguated,
-        "kg_negative_samples": kg_negative_samples,
-        "community_quality": community_quality,
-        "anchor_gazetteer": anchor_gazetteer,
-        "bm25_search": bm25_search,
-        "lm_perplexity": lm_perplexity,
-        "quality_model_scores": quality_model_scores,
-        "token_counts_bpe": token_counts_bpe,
-        "dsir_sample": dsir_sample,
-        "semdedup_prune": semdedup_prune,
-        # ---- driver window boundary (entry 50 above) -------------------
-        "decontaminate_exact_ngrams": decontaminate_exact_ngrams,
-        # -- long-stable tail: many green rows since rounds 1-5 ----------
-        "badwords_gate": badwords_gate,
-        "host_quality_rollup": host_quality_rollup,
-        "token_shards": token_shards,
-        "host_blocklist": host_blocklist,
+        "events_sessions_stateful": events_sessions_stateful,
         "kg_mentions": kg_mentions,
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -2041,19 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": rollup_revenue,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
-        "events_sessions_stateful": events_sessions_stateful,
-        "text_lang_counts": text_lang_counts,
         "text_stats": text_stats,
-        "text_repetition": text_repetition,
-        "pii_scrub": pii_scrub,
-        "marc_quarantine_counts": marc_quarantine_counts,
-        "warc_ingest": warc_ingest,
-        "warc_quarantine": warc_quarantine,
-        "url_canonical_groups": url_canonical_groups,
-        "boilerplate_main_text": boilerplate_main_text,
-        "chunk_windows": chunk_windows,
-        "dedup_survivors": dedup_survivors,
-        "decontaminate_pairs": decontaminate_pairs,
     }
 
 

@@ -69,6 +69,7 @@ def prepare_docs(
     charset_aware: bool = False,
     legacy_charsets: bool = False,
     host_blocklist: DataFrame | None = None,
+    robots: DataFrame | None = None,
     host_ranks: DataFrame | None = None,
     min_rank_scaled: int = 0,
     keep_unranked: bool = True,
@@ -95,6 +96,12 @@ def prepare_docs(
     Stage order (each gate only pays for rows the previous one kept):
 
     1. host blocklist — url-only anti join, before anything touches html;
+    1a. robots gate — when ``robots`` (host, robots_txt) is given, drop
+       pages a *-agent robots.txt disallows (ops.robots: RFC 9309
+       grouped-agent parsing, wildcard/$ rules, longest-match with
+       Allow winning ties). URL-only like the blocklist — compliance
+       runs before any content is touched, so removal requests can be
+       honored without re-extracting anything;
     1b. host-authority gate — when ``host_ranks`` (host, rank_scaled —
        ops.linkgraph.pagerank output) is given, drop rows whose host
        ranks below ``min_rank_scaled``; hosts absent from the rank
@@ -147,6 +154,13 @@ def prepare_docs(
         from esmarc_spark.ops.urlnorm import filter_by_host_blocklist
 
         webtext = filter_by_host_blocklist(webtext, host_blocklist)
+    if robots is not None:
+        from esmarc_spark.ops.robots import robots_gate
+
+        # key by url: the verdict is a pure function of the url, so
+        # recrawl duplicates share one verdict row and all copies of a
+        # disallowed url drop together (no unique row key needed here)
+        webtext = robots_gate(webtext, robots, key_col="url")
     if host_ranks is not None:
         webtext = _host_authority_gate(
             webtext, host_ranks, min_rank_scaled, keep_unranked
@@ -271,6 +285,7 @@ def run_pipeline(
     charset_aware: bool = False,
     legacy_charsets: bool = False,
     host_blocklist: DataFrame | None = None,
+    robots: DataFrame | None = None,
     host_ranks: DataFrame | None = None,
     min_rank_scaled: int = 0,
     keep_unranked: bool = True,
@@ -311,6 +326,8 @@ def run_pipeline(
 
     * host_blocklist: one-column ``host`` dim; rows whose url host is a
       blocked host or a subdomain of one are dropped before S1.
+    * robots: (host, robots_txt) dim — RFC 9309 *-agent compliance gate
+      (ops.robots), url-only, applied right after the blocklist.
     * host_ranks + min_rank_scaled (+ keep_unranked): link-authority
       gate — drop rows from hosts whose ops.linkgraph.pagerank
       rank_scaled falls below the floor.
@@ -340,6 +357,7 @@ def run_pipeline(
         charset_aware=charset_aware,
         legacy_charsets=legacy_charsets,
         host_blocklist=host_blocklist,
+        robots=robots,
         host_ranks=host_ranks,
         min_rank_scaled=min_rank_scaled,
         keep_unranked=keep_unranked,
@@ -380,6 +398,7 @@ def _curated_day_docs(
     part = partitioned.where(F.col("pday").isin(days))
     cur = dict(curation or {})
     host_bl = cur.pop("host_blocklist", None)
+    robots = cur.pop("robots", None)
     host_ranks = cur.pop("host_ranks", None)
     min_rank_scaled = cur.pop("min_rank_scaled", 0)
     keep_unranked = cur.pop("keep_unranked", True)
@@ -391,6 +410,12 @@ def _curated_day_docs(
         from esmarc_spark.ops.urlnorm import filter_by_host_blocklist
 
         work = filter_by_host_blocklist(work, host_bl)
+    if robots is not None:
+        # prepare_docs stage 1a, on the UNFOLDED url (url-reading gate
+        # like the blocklist — a folded url has no parseable host)
+        from esmarc_spark.ops.robots import robots_gate
+
+        work = robots_gate(work, robots, key_col="url")
     if host_ranks is not None:
         # prepare_docs stage 1b, on the UNFOLDED url (a pure row filter
         # — day-independent by construction)

@@ -244,6 +244,21 @@ def test_backfill_matches_loop_with_curation(spark, tmp_path):
                 ),
             ).otherwise(F.col("html")),
         )
+        # robots-governed host: odd residues take a disallowed path,
+        # even residues an allowed one (round 7: stage-1a gate)
+        .withColumn(
+            "url",
+            F.when(
+                i % 25 == 12,
+                F.concat(
+                    F.lit("https://robotic.example"),
+                    F.when(i % 2 == 0, F.lit("/private/page/")).otherwise(
+                        F.lit("/open/page/")
+                    ),
+                    i.cast("string"),
+                ),
+            ).otherwise(F.col("url")),
+        )
     )
     # print-view duplicates: same day, 1s older, declaring the original
     # as rel=canonical (skip utm rows — their original's url is
@@ -278,11 +293,16 @@ def test_backfill_matches_loop_with_curation(spark, tmp_path):
         [("lowrank.example", 10), ("example.org", 5000)],
         "host string, rank_scaled long",
     )
+    robots = spark.createDataFrame(
+        [("robotic.example", "User-agent: *\nDisallow: /private")],
+        "host string, robots_txt string",
+    )
     curation = dict(
         canonical_url_dedup=True,
         drop_noindex=True,
         rel_canonical_dedup=True,
         host_blocklist=blocked,
+        robots=robots,
         host_ranks=ranks,
         min_rank_scaled=100,
         repetition_thresholds=GOPHER_REPETITION_THRESHOLDS,
@@ -306,6 +326,14 @@ def test_backfill_matches_loop_with_curation(spark, tmp_path):
     # declared canonical (the 1s-younger original wins max_by)
     assert not any("noindexed.example" in subj for subj, _, _, _ in loop_triples)
     assert not any("/print" in subj for subj, _, _, _ in loop_triples)
+    # round 7: robots stage 1a fired in both modes — disallowed paths
+    # gone, the allowed path on the same host untouched
+    assert not any(
+        "robotic.example/private" in subj for subj, _, _, _ in loop_triples
+    )
+    assert any(
+        "robotic.example/open" in subj for subj, _, _, _ in loop_triples
+    )
 
 
 def _corpus_dedup_inputs(spark):

@@ -396,6 +396,28 @@ def _curation_webtext(spark, n_docs=5000):
                 ),
             ).otherwise(F.col("html")),
         )
+        # robots-governed host (round 7): odd ids take a disallowed
+        # path, even ids an allowed one
+        .withColumn(
+            "url",
+            F.when(
+                (i % 13 == 4) & (i % 10 != 0) & (i % 11 != 2),
+                F.concat(
+                    F.lit("https://robotic.example"),
+                    F.when(i % 2 == 0, F.lit("/private/p")).otherwise(
+                        F.lit("/open/p")
+                    ),
+                    i.cast("string"),
+                ),
+            ).otherwise(F.col("url")),
+        )
+    )
+
+
+def _robots_df(spark):
+    return spark.createDataFrame(
+        [("robotic.example", "User-agent: *\nDisallow: /private")],
+        "host string, robots_txt string",
     )
 
 
@@ -410,12 +432,16 @@ def test_prepare_docs_gates_observable(spark):
     gated = prepare_docs(
         web,
         host_blocklist=blocked,
+        robots=_robots_df(spark),
         drop_noindex=True,
         repetition_thresholds=GOPHER_REPETITION_THRESHOLDS,
         pii_scrub=True,
     )
     urls = [r.url for r in gated.select("url").collect()]
     assert urls and not any("spam.example" in u for u in urls)
+    # round 7: robots stage 1a — disallowed path gone, allowed one kept
+    assert not any("robotic.example/private" in u for u in urls)
+    assert any("robotic.example/open" in u for u in urls)
     # round 7: the noindex directive gate fired; plain keeps those pages
     assert not any("noindexed.example" in u for u in urls)
     assert any(
@@ -458,6 +484,7 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
         drop_noindex=True,
         rel_canonical_dedup=True,
         host_blocklist=blocked,
+        robots=_robots_df(spark),
         repetition_thresholds=GOPHER_REPETITION_THRESHOLDS,
         pii_scrub=True,
     )
