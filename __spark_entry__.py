@@ -1799,6 +1799,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def sitemap_fetch_list(spark, sf):
+        # round 7: sitemap discovery -> freshness fetch list. Each doc
+        # synthesizes a two-entry sitemap (p-url with lastmod cycling
+        # over January, q-url with a priority and no lastmod) and a
+        # crawl log covering stale, fresh, and never-crawled cases; the
+        # oracle replays parse (same element regexes) and the
+        # lastmod-vs-max(crawl date) join
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.sitemap import fetch_candidates, parse_sitemaps
+
+        d = F.col("doc_id")
+        day = F.lpad((F.pmod(d, F.lit(27)) + 1).cast("string"), 2, "0")
+        purl = F.concat(F.lit("https://m"), F.pmod(d, F.lit(5)).cast("string"),
+                        F.lit(".example/p"), d.cast("string"))
+        qurl = F.concat(F.lit("https://m"), F.pmod(d, F.lit(5)).cast("string"),
+                        F.lit(".example/q"), d.cast("string"))
+        xml = F.concat(
+            F.lit("<urlset>\n <url><loc>"), purl,
+            F.lit("</loc><lastmod>2024-01-"), day,
+            F.lit("</lastmod><changefreq>daily</changefreq></url>\n <url><loc>"),
+            qurl,
+            F.lit("</loc><priority>0."), F.pmod(d, F.lit(9)).cast("string"),
+            F.lit("</priority></url>\n</urlset>"),
+        )
+        docs = _t(spark, sf, "documents")
+        sitemaps = docs.select(
+            F.concat(F.lit("m"), F.pmod(d, F.lit(5)).cast("string"),
+                     F.lit(".example")).alias("host"),
+            xml.alias("sitemap_xml"),
+        )
+        crawl_day = F.lpad((F.pmod(d, F.lit(25)) + 1).cast("string"), 2, "0")
+        crawled = docs.where(d % 3 != 0).select(
+            purl.alias("url"),
+            F.to_timestamp(
+                F.concat(F.lit("2024-01-"), crawl_day, F.lit(" 10:00:00"))
+            ).alias("warc_ts"),
+        )
+        return fetch_candidates(parse_sitemaps(sitemaps), crawled).orderBy(
+            "url"
+        )
+
     def kg_two_hop(spark, sf):
         # round 7: 2-hop property path over the emitted KG — page
         # -mentions-> entity -sameAs-> authority URI, with an explicit
@@ -1957,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-run it every round as queries are added or code changes.
     return {
         # -- zero driver rows yet: new round-7 queries -------------------
+        "sitemap_fetch_list": sitemap_fetch_list,
         "kg_two_hop": kg_two_hop,
         "doc_keywords": doc_keywords,
         "robots_verdicts_urls": robots_verdicts_urls,
@@ -2362,6 +2405,30 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "sitemap_fetch_list": __import__(
+            "esmarc_spark.ops.sitemap", fromlist=["fetch_candidates_sql"]
+        ).fetch_candidates_sql(
+            __import__(
+                "esmarc_spark.ops.sitemap", fromlist=["parse_sitemaps_sql"]
+            ).parse_sitemaps_sql(
+                """SELECT 'm' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+     '<urlset>' || chr(10) || ' <url><loc>https://m'
+     || CAST(doc_id % 5 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR)
+     || '</loc><lastmod>2024-01-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+     || '</lastmod><changefreq>daily</changefreq></url>' || chr(10)
+     || ' <url><loc>https://m' || CAST(doc_id % 5 AS VARCHAR)
+     || '.example/q' || CAST(doc_id AS VARCHAR)
+     || '</loc><priority>0.' || CAST(doc_id % 9 AS VARCHAR)
+     || '</priority></url>' || chr(10) || '</urlset>' AS sitemap_xml
+   FROM documents"""
+            ),
+            """SELECT 'https://m' || CAST(doc_id % 5 AS VARCHAR)
+     || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+     CAST('2024-01-' || lpad(CAST(doc_id % 25 + 1 AS VARCHAR), 2, '0')
+          || ' 10:00:00' AS TIMESTAMP) AS warc_ts
+   FROM documents WHERE doc_id % 3 <> 0""",
+        )
+        + " ORDER BY url",
         "kg_two_hop": __import__(
             "esmarc_spark.ops.kg_paths", fromlist=["two_hop_paths_sql"]
         ).two_hop_paths_sql(
