@@ -118,6 +118,26 @@ _ROBOTS_STAR = (
 )
 _ROBOTS_NOSTAR = "User-agent: specialbot\nDisallow: /"
 
+# shared sitemap fixtures, oracle side (mirror the _sitemap_inputs synthesis)
+_SM_PAGES_SQL = """SELECT 'm' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+     '<urlset>' || chr(10) || ' <url><loc>https://m'
+     || CAST(doc_id % 5 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR)
+     || '</loc><lastmod>2024-01-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+     || '</lastmod><changefreq>daily</changefreq></url>' || chr(10)
+     || ' <url><loc>https://m' || CAST(doc_id % 5 AS VARCHAR)
+     || '.example/q' || CAST(doc_id AS VARCHAR)
+     || '</loc><priority>0.' || CAST(doc_id % 9 AS VARCHAR)
+     || '</priority></url>' || chr(10) || '</urlset>' AS sitemap_xml
+   FROM documents"""
+_SM_CRAWL_SQL = """SELECT 'https://m' || CAST(doc_id % 5 AS VARCHAR)
+     || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+     CAST('2024-01-' || lpad(CAST(doc_id % 25 + 1 AS VARCHAR), 2, '0')
+          || ' 10:00:00' AS TIMESTAMP) AS warc_ts
+   FROM documents WHERE doc_id % 3 <> 0"""
+_SM_RANKS_SQL = """SELECT 'm' || CAST(r AS VARCHAR) || '.example' AS host,
+     CAST((r * r + 3) * 1000000000 AS BIGINT) AS rank_scaled
+   FROM (SELECT DISTINCT doc_id % 5 AS r FROM documents)"""
+
 # shared fixture for the pagemeta queries (mirrors _pagemeta_docs)
 _PAGEMETA_SQL = """SELECT doc_id,
      'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
@@ -1799,16 +1819,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
-    def sitemap_fetch_list(spark, sf):
-        # round 7: sitemap discovery -> freshness fetch list. Each doc
-        # synthesizes a two-entry sitemap (p-url with lastmod cycling
-        # over January, q-url with a priority and no lastmod) and a
-        # crawl log covering stale, fresh, and never-crawled cases; the
-        # oracle replays parse (same element regexes) and the
-        # lastmod-vs-max(crawl date) join
+    def _sitemap_inputs(spark, sf):
+        # shared sitemap fixture: each doc synthesizes a two-entry
+        # sitemap (p-url with lastmod cycling over January, q-url with
+        # a priority and no lastmod) and a crawl log covering stale,
+        # fresh, and never-crawled cases; the oracle replays the
+        # synthesis (_SM_PAGES_SQL / _SM_CRAWL_SQL)
         from pyspark.sql import functions as F
-
-        from esmarc_spark.ops.sitemap import fetch_candidates, parse_sitemaps
 
         d = F.col("doc_id")
         day = F.lpad((F.pmod(d, F.lit(27)) + 1).cast("string"), 2, "0")
@@ -1837,9 +1854,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.concat(F.lit("2024-01-"), crawl_day, F.lit(" 10:00:00"))
             ).alias("warc_ts"),
         )
+        return sitemaps, crawled
+
+    def sitemap_fetch_list(spark, sf):
+        # round 7: sitemap discovery -> freshness fetch list; the oracle
+        # replays parse (same element regexes) and the lastmod-vs-
+        # max(crawl date) join
+        from esmarc_spark.ops.sitemap import fetch_candidates, parse_sitemaps
+
+        sitemaps, crawled = _sitemap_inputs(spark, sf)
         return fetch_candidates(parse_sitemaps(sitemaps), crawled).orderBy(
             "url"
         )
+
+    def crawl_frontier(spark, sf):
+        # round 7 capstone COMPOSITION: sitemap discovery -> freshness
+        # fetch list -> politeness frontier (per-host wave slots, no
+        # global sort) joined to a synthesized authority dim — the
+        # crawl-scheduling chain, replayed stage-SQL-into-stage-SQL
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.sitemap import (
+            fetch_candidates,
+            parse_sitemaps,
+            schedule_frontier,
+        )
+
+        sitemaps, crawled = _sitemap_inputs(spark, sf)
+        ranks = (
+            _t(spark, sf, "documents")
+            .select(F.pmod(F.col("doc_id"), F.lit(5)).alias("r"))
+            .distinct()
+            .select(
+                F.concat(F.lit("m"), F.col("r").cast("string"),
+                         F.lit(".example")).alias("host"),
+                ((F.col("r") * F.col("r") + 3) * 1_000_000_000)
+                .cast("bigint")
+                .alias("rank_scaled"),
+            )
+        )
+        return schedule_frontier(
+            fetch_candidates(parse_sitemaps(sitemaps), crawled), ranks
+        ).orderBy("host", "wave", "url")
 
     def kg_two_hop(spark, sf):
         # round 7: 2-hop property path over the emitted KG — page
@@ -1999,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-run it every round as queries are added or code changes.
     return {
         # -- zero driver rows yet: new round-7 queries -------------------
+        "crawl_frontier": crawl_frontier,
         "sitemap_fetch_list": sitemap_fetch_list,
         "kg_two_hop": kg_two_hop,
         "doc_keywords": doc_keywords,
@@ -2410,25 +2467,24 @@ GROUP BY lang_guess ORDER BY lang_guess
         ).fetch_candidates_sql(
             __import__(
                 "esmarc_spark.ops.sitemap", fromlist=["parse_sitemaps_sql"]
-            ).parse_sitemaps_sql(
-                """SELECT 'm' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
-     '<urlset>' || chr(10) || ' <url><loc>https://m'
-     || CAST(doc_id % 5 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR)
-     || '</loc><lastmod>2024-01-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
-     || '</lastmod><changefreq>daily</changefreq></url>' || chr(10)
-     || ' <url><loc>https://m' || CAST(doc_id % 5 AS VARCHAR)
-     || '.example/q' || CAST(doc_id AS VARCHAR)
-     || '</loc><priority>0.' || CAST(doc_id % 9 AS VARCHAR)
-     || '</priority></url>' || chr(10) || '</urlset>' AS sitemap_xml
-   FROM documents"""
-            ),
-            """SELECT 'https://m' || CAST(doc_id % 5 AS VARCHAR)
-     || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
-     CAST('2024-01-' || lpad(CAST(doc_id % 25 + 1 AS VARCHAR), 2, '0')
-          || ' 10:00:00' AS TIMESTAMP) AS warc_ts
-   FROM documents WHERE doc_id % 3 <> 0""",
+            ).parse_sitemaps_sql(_SM_PAGES_SQL),
+            _SM_CRAWL_SQL,
         )
         + " ORDER BY url",
+        "crawl_frontier": __import__(
+            "esmarc_spark.ops.sitemap", fromlist=["schedule_frontier_sql"]
+        ).schedule_frontier_sql(
+            __import__(
+                "esmarc_spark.ops.sitemap", fromlist=["fetch_candidates_sql"]
+            ).fetch_candidates_sql(
+                __import__(
+                    "esmarc_spark.ops.sitemap", fromlist=["parse_sitemaps_sql"]
+                ).parse_sitemaps_sql(_SM_PAGES_SQL),
+                _SM_CRAWL_SQL,
+            ),
+            _SM_RANKS_SQL,
+        )
+        + " ORDER BY host, wave, url",
         "kg_two_hop": __import__(
             "esmarc_spark.ops.kg_paths", fromlist=["two_hop_paths_sql"]
         ).two_hop_paths_sql(

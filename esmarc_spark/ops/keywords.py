@@ -65,14 +65,20 @@ def extract_keywords(
     """Top-``k`` keywords per document: (doc_id, term, tf, df,
     score_scaled, rank) with rank 1..k ordered (score DESC, term ASC —
     ties pinned bytewise, a pure function of the corpus)."""
+    from pyspark.storagelevel import StorageLevel
+
     tf = (
         doc_terms(documents, text_col, id_col, min_len)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         # without this, Catalyst plans the df branch as a SECOND full
-        # scan + tokenize of the corpus (verified via explain); the lazy
-        # checkpoint materializes tf once and both branches reuse it
-        .localCheckpoint(eager=False)
+        # scan + tokenize of the corpus (verified via explain). persist
+        # (compressed columnar, spills to disk) rather than
+        # localCheckpoint (uncompressed UnsafeRow blocks): at 2M docs
+        # the checkpoint variant OOMed an 8g heap while the columnar
+        # cache fits in a fraction of the space (measured, BENCH/
+        # keywords.json run log)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df, "term").select(

@@ -140,3 +140,65 @@ FROM _j
 WHERE last_crawled IS NULL
    OR (lastmod IS NOT NULL AND lastmod > last_crawled)
 """
+
+
+def schedule_frontier(
+    candidates: DataFrame,
+    host_ranks: DataFrame | None = None,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness-aware crawl frontier: assign each candidate a per-host
+    ``wave`` (1-based FIFO slot — a polite fetcher issues at most one
+    request per host per wave, so wave k is the k-th politeness round),
+    ordered inside the host by declared priority (DESC, NULLS LAST),
+    then lastmod recency (DESC, NULLS LAST), then url (the bytewise
+    pin). When ``host_ranks`` (host, rank_scaled — ops.linkgraph.
+    pagerank output) is given, ``rank_scaled`` is attached (NULL for
+    unranked hosts) so the fetcher can order hosts inside a wave by
+    authority.
+
+    Scale shape: one window PARTITIONED BY HOST over that host's
+    declared urls (bounded by sitemap size, never a corpus sort) plus a
+    left equi-join on host for the authority dim. There is deliberately
+    NO global ordering here — a total order over 10^12 candidates is a
+    full sort; (wave, rank_scaled, host) gives the fetcher everything a
+    global order would."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.col("priority_permille").desc_nulls_last(),
+        F.col("lastmod").desc_nulls_last(),
+        F.col(url_col).asc(),
+    )
+    out = candidates.withColumn("wave", F.row_number().over(w).cast("long"))
+    if host_ranks is not None:
+        out = out.join(
+            host_ranks.select(
+                F.col("host").alias(host_col), "rank_scaled"
+            ),
+            host_col,
+            "left",
+        )
+    return out
+
+
+def schedule_frontier_sql(
+    candidates_sql: str, host_ranks_sql: str | None = None
+) -> str:
+    """DuckDB replay: identical window and join."""
+    rank_join = (
+        f"LEFT JOIN ({host_ranks_sql}) r USING (host)" if host_ranks_sql else ""
+    )
+    rank_col = ", r.rank_scaled" if host_ranks_sql else ""
+    return f"""
+WITH _c AS ({candidates_sql}),
+_w AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY host
+      ORDER BY priority_permille DESC NULLS LAST,
+               lastmod DESC NULLS LAST, url ASC) AS BIGINT) AS wave
+  FROM _c
+)
+SELECT _w.*{rank_col} FROM _w {rank_join}
+"""

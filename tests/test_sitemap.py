@@ -94,3 +94,61 @@ def test_duckdb_parity(spark):
     )
     assert got_e == want_e
     assert got_f == want_f
+
+
+def test_schedule_frontier_waves_and_ranks(spark):
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.sitemap import schedule_frontier, schedule_frontier_sql
+
+    cands = spark.createDataFrame(
+        [
+            # host a: priority order 900 > 500 > NULL; NULL-priority ties
+            # broken by lastmod desc then url
+            ("a.com", "https://a.com/p1", None, None, 500),
+            ("a.com", "https://a.com/p2", None, None, 900),
+            ("a.com", "https://a.com/p3", "2024-02-02", None, None),
+            ("a.com", "https://a.com/p4", "2024-01-01", None, None),
+            ("b.com", "https://b.com/x", None, None, None),
+        ],
+        "host string, url string, lastmod string, changefreq string,"
+        " priority_permille long",
+    ).select(
+        "host", "url", F.col("lastmod").cast("date").alias("lastmod"),
+        "changefreq", "priority_permille",
+    )
+    ranks = spark.createDataFrame(
+        [("a.com", 7_000_000_000)], "host string, rank_scaled long"
+    )
+    got = {
+        r["url"]: (r["wave"], r["rank_scaled"])
+        for r in schedule_frontier(cands, ranks).collect()
+    }
+    assert got == {
+        "https://a.com/p2": (1, 7_000_000_000),
+        "https://a.com/p1": (2, 7_000_000_000),
+        "https://a.com/p3": (3, 7_000_000_000),
+        "https://a.com/p4": (4, 7_000_000_000),
+        "https://b.com/x": (1, None),  # unranked host: NULL rank, own wave
+    }
+    # oracle parity, partition invariance
+    got_rows = sorted(
+        tuple(map(str, r)) for r in schedule_frontier(cands, ranks).collect()
+    )
+    got13 = sorted(
+        tuple(map(str, r))
+        for r in schedule_frontier(cands.repartition(13), ranks).collect()
+    )
+    assert got_rows == got13
+    con = duckdb.connect()
+    # toArrow(): toPandas() would coerce the nullable int column to
+    # float64 and the oracle would print '500.0'
+    con.register("c", cands.toArrow())
+    con.register("rk", ranks.toArrow())
+    want = sorted(
+        tuple(map(str, r))
+        for r in con.execute(
+            schedule_frontier_sql("SELECT * FROM c", "SELECT * FROM rk")
+        ).fetchall()
+    )
+    assert got_rows == want
