@@ -1819,6 +1819,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def url_percent_normalized(spark, sf):
+        # round 7: RFC 3986 safe percent normalization — uppercase %XX,
+        # decode only the 66 unreserved chars (reserved and malformed
+        # triplets pass through); one generated 67-deep replace chain
+        # parsed by both engines from the same rule table
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.urlnorm import normalize_percent_encoding
+
+        d = F.col("doc_id")
+        suffix = (
+            F.when(d % 6 == 0, F.lit("%2fx%c3%a9"))
+            .when(d % 6 == 1, F.lit("%41b"))
+            .when(d % 6 == 2, F.lit("caf%7e"))
+            .when(d % 6 == 3, F.lit("%5A%61q"))
+            .when(d % 6 == 4, F.lit("plain"))
+            .otherwise(F.lit("%G1%"))
+        )
+        return (
+            _t(spark, sf, "documents")
+            .select(
+                "doc_id",
+                F.concat(
+                    F.lit("https://ex.com/p"), d.cast("string"), suffix
+                ).alias("url"),
+            )
+            .withColumn("norm", normalize_percent_encoding("url"))
+            .orderBy("doc_id")
+        )
+
     def _sitemap_inputs(spark, sf):
         # shared sitemap fixture: each doc synthesizes a two-entry
         # sitemap (p-url with lastmod cycling over January, q-url with
@@ -2055,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-run it every round as queries are added or code changes.
     return {
         # -- zero driver rows yet: new round-7 queries -------------------
+        "url_percent_normalized": url_percent_normalized,
         "crawl_frontier": crawl_frontier,
         "sitemap_fetch_list": sitemap_fetch_list,
         "kg_two_hop": kg_two_hop,
@@ -2462,6 +2493,18 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "url_percent_normalized": (
+            "SELECT doc_id, url, "
+            + __import__(
+                "esmarc_spark.ops.urlnorm", fromlist=["percent_normalize_sql"]
+            ).percent_normalize_sql("url", "duckdb")
+            + """ AS norm FROM (
+                 SELECT doc_id, 'https://ex.com/p' || CAST(doc_id AS VARCHAR) ||
+                   CASE doc_id % 6 WHEN 0 THEN '%2fx%c3%a9' WHEN 1 THEN '%41b'
+                        WHEN 2 THEN 'caf%7e' WHEN 3 THEN '%5A%61q'
+                        WHEN 4 THEN 'plain' ELSE '%G1%' END AS url
+                 FROM documents) ORDER BY doc_id"""
+        ),
         "sitemap_fetch_list": __import__(
             "esmarc_spark.ops.sitemap", fromlist=["fetch_candidates_sql"]
         ).fetch_candidates_sql(

@@ -214,3 +214,65 @@ bad AS (
 SELECT * EXCLUDE (_host) FROM hosted
 WHERE {url_col} NOT IN (SELECT {url_col} FROM bad)
 """
+
+
+# ---------------------------------------------------------------------------
+# RFC 3986 safe percent-encoding normalization (round 7)
+# ---------------------------------------------------------------------------
+#
+# canonical_url deliberately leaves percent-encoding alone: decoding a
+# RESERVED character ('/', '?', '&', ...) changes what the url means.
+# But RFC 3986 §6.2.2 defines a normalization that is provably
+# semantics-preserving, and real crawls need it (the same page is
+# fetched as /caf%c3%a9, /caf%C3%A9, /Ab and /%41b):
+#
+#   1. hex digits in every %XX triplet uppercased;
+#   2. %XX decoded ONLY for the 66 unreserved characters
+#      (ALPHA / DIGIT / '-' / '.' / '_' / '~').
+#
+# Implementation is engine-portable expression text from one generator
+# (the ops.mojibake recipe): step 1 splits on '%' and uppercases the
+# two lead chars of each hex-shaped segment row-locally (a sentinel
+# char pins the pre-'%' head so no index-aware lambda is needed —
+# DuckDB's list lambdas have no index form); step 2 is a generated
+# 66-rule chained replace. Map-only whole-stage codegen, no shuffle.
+
+_UNRESERVED = (
+    [chr(c) for c in range(0x41, 0x5B)]  # A-Z
+    + [chr(c) for c in range(0x61, 0x7B)]  # a-z
+    + [chr(c) for c in range(0x30, 0x3A)]  # 0-9
+    + list("-._~")
+)
+
+
+def percent_normalize_sql(inner: str, dialect: str) -> str:
+    """Normalization chain over an input expression; ``dialect`` is
+    'spark' or 'duckdb' (the two differ only in lambda/join spellings —
+    the rule table and ordering are shared)."""
+    if dialect == "spark":
+        upper = (
+            f"substring(array_join(transform(split(concat(char(1), {inner}), '%'),"
+            " e -> CASE WHEN e rlike '^[0-9a-fA-F]{2}'"
+            " THEN concat(upper(substring(e, 1, 2)), substring(e, 3))"
+            " ELSE e END), '%'), 2)"
+        )
+    elif dialect == "duckdb":
+        upper = (
+            f"substr(array_to_string(list_transform(string_split(chr(1) || ({inner}), '%'),"
+            " e -> CASE WHEN regexp_matches(e, '^[0-9a-fA-F]{2}')"
+            " THEN upper(substr(e, 1, 2)) || substr(e, 3)"
+            " ELSE e END), '%'), 2)"
+        )
+    else:
+        raise ValueError(f"unknown dialect: {dialect!r}")
+    e = upper
+    for ch in _UNRESERVED:
+        e = f"replace({e}, '%{ord(ch):02X}', '{ch}')"
+    return e
+
+
+def normalize_percent_encoding(url: str) -> F.Column:
+    """RFC 3986 §6.2.2 safe normalization as a Spark Column (column
+    NAME in, one F.expr — the generated chain is 67 calls deep and
+    py4j-per-call plan building is the measured trap)."""
+    return F.expr(percent_normalize_sql(f"`{url}`", "spark"))

@@ -79,3 +79,53 @@ def test_dedup_by_canonical_url_preserves_extra_columns(spark):
             "crawl_seq": 2,
         }
     ]
+
+
+# ---------------------------------------------------------------------------
+# RFC 3986 safe percent-encoding normalization (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_percent_normalization_rules(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.urlnorm import (
+        normalize_percent_encoding,
+        percent_normalize_sql,
+    )
+
+    cases = [
+        # (raw, expected)
+        ("https://ex.com/%2fx%c3%a9", "https://ex.com/%2Fx%C3%A9"),  # upper only
+        ("https://ex.com/%41b", "https://ex.com/Ab"),  # unreserved decoded
+        ("https://ex.com/caf%7e", "https://ex.com/caf~"),
+        ("https://ex.com/%5A%61q", "https://ex.com/Zaq"),
+        ("https://ex.com/plain", "https://ex.com/plain"),
+        ("https://ex.com/%G1%", "https://ex.com/%G1%"),  # malformed: as-is
+        ("%41head", "Ahead"),  # url starting with a triplet
+        ("https://ex.com/a?x=%2D", "https://ex.com/a?x=-"),
+        ("https://ex.com/%2541", "https://ex.com/%2541"),  # %25 reserved
+    ]
+    df = spark.createDataFrame(cases, "url string, want string").withColumn(
+        "norm", normalize_percent_encoding("url")
+    )
+    for r in df.collect():
+        assert r["norm"] == r["want"], (r["url"], r["norm"], r["want"])
+    # oracle runs the generated duckdb dialect over the same rows
+    con = duckdb.connect()
+    con.register("u", df.select("url").toPandas())
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {percent_normalize_sql('url', 'duckdb')} FROM u"
+        ).fetchall()
+    ]
+    got = [r["norm"] for r in df.collect()]
+    assert got == want
+    # NULL propagates
+    null_df = spark.createDataFrame([(None,)], "url string").withColumn(
+        "norm", normalize_percent_encoding("url")
+    )
+    assert null_df.collect()[0]["norm"] is None
