@@ -1819,6 +1819,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def keywords_incremental(spark, sf):
+        # round 7: cross-dump df state — the same corpus committed as
+        # TWO dumps (doc_id parity); scoring the second dump against
+        # the accumulated df must equal from-scratch extraction over
+        # the union restricted to that dump's docs, so the oracle is
+        # the one-shot keyword SQL with a parity filter
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.keywords import ingest_keywords_dump
+
+        docs = _t(spark, sf, "documents")
+        root = tempfile.mkdtemp(prefix="dfstate_")
+        try:
+            ingest_keywords_dump(
+                spark, docs.where(F.col("doc_id") % 2 == 0), root, "even", k=3
+            )
+            kw = ingest_keywords_dump(
+                spark, docs.where(F.col("doc_id") % 2 == 1), root, "odd", k=3
+            )
+            out = kw.orderBy("doc_id", "rank")
+            out = spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return out
+
     def url_percent_normalized(spark, sf):
         # round 7: RFC 3986 safe percent normalization — uppercase %XX,
         # decode only the 66 unreserved chars (reserved and malformed
@@ -2085,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-run it every round as queries are added or code changes.
     return {
         # -- zero driver rows yet: new round-7 queries -------------------
+        "keywords_incremental": keywords_incremental,
         "url_percent_normalized": url_percent_normalized,
         "crawl_frontier": crawl_frontier,
         "sitemap_fetch_list": sitemap_fetch_list,
@@ -2493,6 +2522,11 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "keywords_incremental": "SELECT * FROM ("
+        + __import__(
+            "esmarc_spark.ops.keywords", fromlist=["extract_keywords_sql"]
+        ).extract_keywords_sql("SELECT doc_id, text FROM documents", 3)
+        + ") WHERE doc_id % 2 = 1 ORDER BY doc_id, rank",
         "url_percent_normalized": (
             "SELECT doc_id, url, "
             + __import__(

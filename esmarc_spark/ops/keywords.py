@@ -15,10 +15,10 @@ words with df ~ N sink to the bottom; rare-but-repeated terms rise).
 
 Scale shape: tokenize/normalize is map-only codegen; ``tf`` is one
 partial-agg groupBy on (doc_id, term); ``df`` REUSES the tf relation
-(already distinct per doc-term, pinned by a lazy localCheckpoint so
-Catalyst cannot plan a second corpus scan) with a second partial-agg
-groupBy — the corpus is scanned once, text never shuffles, only
-(doc_id, term, count) triples do. The join back is term-keyed (vocabulary-sized side,
+(already distinct per doc-term, pinned by a compressed-columnar
+persist so Catalyst cannot plan a second corpus scan) with a second
+partial-agg groupBy — the corpus is scanned once, text never shuffles,
+only (doc_id, term, count) triples do. The join back is term-keyed (vocabulary-sized side,
 Zipf-headed but partial aggs absorbed the heavy keys already); the
 top-k window partitions by doc_id over that doc's distinct terms —
 bounded per key, never a corpus sort.
@@ -131,3 +131,112 @@ SELECT doc_id, term, tf, df, score_scaled,
 FROM _scored
 QUALIFY rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental document-frequency state across dumps (round 7)
+# ---------------------------------------------------------------------------
+#
+# A growing corpus should not re-tokenize history to score a new dump:
+# df is additive across dumps (each doc lives in exactly one dump, so
+# per-dump df counts sum losslessly), which makes the persisted state a
+# tiny (term, df) relation per dump — vocabulary-sized, ~6 orders of
+# magnitude below the text corpus. Contract (documented, tested):
+# ingesting dump N returns THAT dump's keywords scored against the df
+# accumulated over dumps 1..N — byte-identical to from-scratch
+# extract_keywords over the concatenated dumps restricted to dump N's
+# documents. Keywords published for EARLIER dumps are point-in-time
+# snapshots (their df was smaller); a global re-rank is one
+# from-scratch run when a release wants it. Same _STATE-marker
+# atomicity/idempotence as ops.dedup_incremental.
+
+
+class DfState:
+    """Persisted per-dump document-frequency deltas under ``root``:
+
+    * ``df/dump=<id>/`` parquet (term, df) — the dump's per-term
+      distinct-doc counts
+    * ``_STATE``        JSON {"dumps": [...]} — atomic commit point
+    """
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def manifest(self) -> dict:
+        import json
+
+        from esmarc_spark.pipeline import fsio
+
+        raw = fsio.read_text(fsio.join(self.root, "_STATE"))
+        return {"dumps": []} if raw is None else json.loads(raw)
+
+    def df(self, spark) -> DataFrame | None:
+        """Merged (term, df) over every committed dump."""
+        from esmarc_spark.pipeline import fsio
+
+        dumps = self.manifest()["dumps"]
+        if not dumps:
+            return None
+        paths = [fsio.join(self.root, "df", f"dump={d}") for d in dumps]
+        return (
+            spark.read.parquet(*paths)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+
+    def _publish(self, dumps: list[str]) -> None:
+        import json
+
+        from esmarc_spark.pipeline import fsio
+
+        fsio.write_text_atomic(
+            fsio.join(self.root, "_STATE"), json.dumps({"dumps": dumps})
+        )
+
+
+def ingest_keywords_dump(
+    spark,
+    documents: DataFrame,
+    state_root: str,
+    dump_id: str,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+) -> DataFrame:
+    """Commit one dump's df delta and return the dump's top-``k``
+    keywords scored against the ACCUMULATED corpus df (see module
+    section note for the exact equality contract). Replaying a
+    committed dump_id re-scores it against current state without
+    re-committing; a crash between the delta write and the marker is
+    healed by the deterministic rerun overwriting the orphan dir."""
+    from esmarc_spark.pipeline import fsio
+    from pyspark.storagelevel import StorageLevel
+
+    st = DfState(state_root)
+    manifest = st.manifest()
+    tf = (
+        doc_terms(documents, text_col, id_col, min_len)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if dump_id not in manifest["dumps"]:
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
+            "overwrite"
+        ).parquet(fsio.join(st.root, "df", f"dump={dump_id}"))
+        st._publish(manifest["dumps"] + [dump_id])
+    scored = tf.join(st.df(spark), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr(f"(tf * {_SCALE}) div df").alias("score_scaled"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -1016,3 +1016,62 @@ def test_two_hop_paths_and_hub_caps(spark):
             ).fetchall()
         )
         assert got == want, kw
+
+
+def test_keywords_incremental_df_state(spark, tmp_path):
+    """Cross-dump df state: scoring dump N against accumulated df must
+    equal from-scratch extraction over the concatenated dumps
+    restricted to dump N's docs; replay is idempotent; a crash orphan
+    heals."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.keywords import (
+        DfState,
+        extract_keywords,
+        ingest_keywords_dump,
+    )
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("shared corpus words topic"),
+                F.pmod("id", F.lit(7)).cast("string"),
+                F.lit(" rare"),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+
+    root = str(tmp_path / "dfstate")
+
+    def kwmap(df):
+        return {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score_scaled"])
+                for r in df.collect()}
+
+    got1 = ingest_keywords_dump(spark, docs(0, 60), root, "d0", k=3)
+    want1 = extract_keywords(docs(0, 60), k=3)
+    assert kwmap(got1) == kwmap(want1)
+
+    got2 = ingest_keywords_dump(spark, docs(60, 150), root, "d1", k=3)
+    want2 = extract_keywords(docs(0, 150), k=3).where(F.col("doc_id") >= 60)
+    assert kwmap(got2) == kwmap(want2)
+
+    # idempotent replay: no recommit, rescoring against current state
+    before = DfState(root).manifest()
+    again = ingest_keywords_dump(spark, docs(60, 150), root, "d1", k=3)
+    assert DfState(root).manifest() == before
+    assert kwmap(again) == kwmap(want2)
+    assert json.loads(open(f"{root}/_STATE").read()) == {"dumps": ["d0", "d1"]}
+
+    # crash orphan: df delta written under next dump id, no marker
+    from esmarc_spark.ops.keywords import doc_terms
+
+    doc_terms(docs(500, 510)).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).write.mode("overwrite").parquet(f"{root}/df/dump=d2")
+    assert DfState(root).manifest()["dumps"] == ["d0", "d1"]
+    got3 = ingest_keywords_dump(spark, docs(150, 200), root, "d2", k=3)
+    want3 = extract_keywords(docs(0, 200), k=3).where(F.col("doc_id") >= 150)
+    assert kwmap(got3) == kwmap(want3)
