@@ -224,3 +224,29 @@ def ingest_anchor_dump(
         )
         st._publish(manifest["dumps"] + [dump_id])
     return gazetteer_from_votes(st.votes(spark), min_pages)
+
+
+def gate_docs_from_state(
+    spark: SparkSession,
+    documents: DataFrame,
+    state_root: str,
+    host_col: str = "host",
+    **thresholds,
+) -> DataFrame:
+    """The full graph-feature curation gate (``ops.graph_gate``:
+    authority floor + link-farm + link-ring checks) driven by the
+    PERSISTED link-graph state instead of a fresh extraction pass —
+    per-dump edge deltas mean the gate never re-reads historical HTML.
+    Since the merged edge relation is provably the from-scratch
+    relation (see ``ingest_pages_dump``), the verdicts are identical
+    too. Before the first committed dump there is no graph evidence,
+    so documents pass through unchanged (the same lenient default as
+    ``prepare_docs(keep_unranked=True)``)."""
+    from esmarc_spark.ops.graph_gate import gate_docs_by_graph
+
+    edges = LinkGraphState(state_root).edges(spark)
+    if edges is None:
+        return documents
+    return gate_docs_by_graph(
+        documents, edges, host_col=host_col, **thresholds
+    )

@@ -259,3 +259,36 @@ def test_anchor_replay_idempotent_and_crash_healed(spark, tmp_path):
     assert AnchorState(root).manifest()["dumps"] == ["d0"]
     got = ingest_anchor_dump(spark, _apages(spark, 30, 70), root, "d1")
     assert _gazmap(got) == _gazmap(harvest_anchor_texts(_apages(spark, 0, 70)))
+
+
+def test_gate_docs_from_state_equals_from_scratch(spark, tmp_path):
+    """The graph-feature gate over per-dump-committed edges must give
+    the same surviving docs as the gate over a fresh extraction of the
+    full corpus; with no committed dumps it passes everything."""
+    from esmarc_spark.ops.graph_gate import gate_docs_by_graph
+    from esmarc_spark.ops.linkgraph import extract_outlinks
+    from esmarc_spark.ops.linkgraph_incremental import gate_docs_from_state
+
+    docs = spark.createDataFrame(
+        [(f"h{i % 23}.example", f"doc body text quality {i}") for i in range(60)],
+        "host string, text string",
+    )
+    root = str(tmp_path / "lg")
+    assert gate_docs_from_state(spark, docs, root).count() == 60  # no state yet
+    ingest_pages_dump(spark, _pages(spark, 0, 40), root, "d0")
+    ingest_pages_dump(spark, _pages(spark, 40, 90), root, "d1")
+    # a data-derived floor guarantees a genuine keep/drop split; the
+    # ring check is disabled (synthetic text scores below any real
+    # quality bar) — the equality of verdicts is the contract here
+    ranks = LinkGraphState(root).ranks(spark).collect()
+    floor = sorted(r["rank_scaled"] for r in ranks)[len(ranks) // 2]
+    kw = dict(
+        min_rank_scaled=floor, farm_min_deg=10**9, min_community_quality=0.0
+    )
+    got = gate_docs_from_state(spark, docs, root, **kw)
+    want = gate_docs_by_graph(
+        docs, extract_outlinks(_pages(spark, 0, 90)), **kw
+    )
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w and 0 < len(g) < 60
