@@ -1819,6 +1819,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def quality_pr_curve(spark, sf):
+        # round 7: the full precision/recall curve of the quality model
+        # vs the deterministic length label, per language — the
+        # gate-threshold-picking companion to quality_model_auc, same
+        # distributed shape (distinct-score window), exact permyriad
+        # floors
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.quality_model import quality_model_score
+        from esmarc_spark.ops.stats import pr_curve
+
+        scored = quality_model_score(
+            _t(spark, sf, "documents").select("doc_id", "text", "lang", "n_chars")
+        ).select(
+            "lang",
+            F.round(F.col("quality_model") * 1000000)
+            .cast("long")
+            .alias("score_scaled"),
+            (F.col("n_chars") >= 300).alias("label"),
+        )
+        return pr_curve(scored, "score_scaled", "label", "lang").orderBy(
+            "lang", "threshold"
+        )
+
     def keywords_incremental(spark, sf):
         # round 7: cross-dump df state — the same corpus committed as
         # TWO dumps (doc_id parity); scoring the second dump against
@@ -2113,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-run it every round as queries are added or code changes.
     return {
         # -- zero driver rows yet: new round-7 queries -------------------
+        "quality_pr_curve": quality_pr_curve,
         "keywords_incremental": keywords_incremental,
         "url_percent_normalized": url_percent_normalized,
         "crawl_frontier": crawl_frontier,
@@ -2522,6 +2547,23 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "quality_pr_curve": __import__(
+            "esmarc_spark.ops.stats", fromlist=["pr_curve_sql"]
+        ).pr_curve_sql(
+            "SELECT lang,"
+            " CAST(ROUND(quality_model * 1000000) AS BIGINT) AS score_scaled,"
+            " (n_chars >= 300) AS label FROM ("
+            + __import__(
+                "esmarc_spark.ops.quality_model", fromlist=["quality_model_sql"]
+            ).quality_model_sql(
+                "SELECT doc_id, text, lang, n_chars FROM documents"
+            )
+            + ")",
+            "score_scaled",
+            "label",
+            "lang",
+        )
+        + " ORDER BY lang, threshold",
         "keywords_incremental": "SELECT * FROM ("
         + __import__(
             "esmarc_spark.ops.keywords", fromlist=["extract_keywords_sql"]

@@ -235,3 +235,99 @@ SELECT grp AS {group_col}, n_pos, n_neg,
 FROM _agg
 WHERE n_pos > 0 AND n_neg > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# exact precision/recall curve (round 7)
+# ---------------------------------------------------------------------------
+#
+# The AUC above summarizes ranking quality in one number; picking an
+# actual GATE THRESHOLD for a curation model needs the full curve —
+# at every candidate cutoff, how much junk passes (precision) and how
+# much good data is lost (recall). Same distributed shape as exact_auc:
+# the only full-data shuffle is the (group, score) partial-agg count;
+# the descending cumulative window runs over the DISTINCT-SCORE
+# relation (bounded by score cardinality, not rows). All-integer
+# outputs: counts fit int64 up to ~1e12 rows/class and the permyriad
+# numerators stay below 1e16.
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One row per (group, distinct score) with the classifier
+    "predict positive when score >= threshold": (group, threshold, tp,
+    fp, fn, precision_permyriad, recall_permyriad) — exact floors.
+    NULL scores are excluded (no order position), groups without a
+    positive are dropped (recall undefined)."""
+    vc = (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(score_col).alias("val"))
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum(F.col(label_col).cast("int")).alias("p"),
+        )
+    )
+    w_ge = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("val").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp")
+    cum = vc.select(
+        "grp",
+        F.col("val").alias("threshold"),
+        F.sum("p").over(w_ge).alias("tp"),
+        (F.sum("t").over(w_ge) - F.sum("p").over(w_ge)).alias("fp"),
+        (F.sum("p").over(w_all) - F.sum("p").over(w_ge)).alias("fn"),
+        F.sum("p").over(w_all).alias("n_pos"),
+    )
+    return (
+        cum.where(F.col("n_pos") > 0)
+        .select(
+            F.col("grp").alias(group_col),
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            F.expr("(10000 * tp) div (tp + fp)").alias("precision_permyriad"),
+            F.expr("(10000 * tp) div n_pos").alias("recall_permyriad"),
+        )
+    )
+
+
+def pr_curve_sql(
+    source_select: str,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+) -> str:
+    """DuckDB oracle: identical counts, windows, and floors."""
+    return f"""
+WITH _vc AS (
+  SELECT {group_col} AS grp, {score_col} AS val,
+         CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CAST({label_col} AS INT)) AS BIGINT) AS p
+  FROM ({source_select})
+  WHERE {score_col} IS NOT NULL
+  GROUP BY 1, 2
+),
+_cum AS (
+  SELECT grp, val AS threshold,
+         CAST(SUM(p) OVER w_ge AS BIGINT) AS tp,
+         CAST(SUM(t) OVER w_ge - SUM(p) OVER w_ge AS BIGINT) AS fp,
+         CAST(SUM(p) OVER w_all - SUM(p) OVER w_ge AS BIGINT) AS fn,
+         CAST(SUM(p) OVER w_all AS BIGINT) AS n_pos
+  FROM _vc
+  WINDOW w_ge AS (PARTITION BY grp ORDER BY val DESC
+                  ROWS UNBOUNDED PRECEDING),
+         w_all AS (PARTITION BY grp)
+)
+SELECT grp AS {group_col}, threshold, tp, fp, fn,
+       (10000 * tp) // (tp + fp) AS precision_permyriad,
+       (10000 * tp) // n_pos AS recall_permyriad
+FROM _cum WHERE n_pos > 0
+"""

@@ -533,3 +533,59 @@ def test_training_release_duckdb_parity(spark):
     # must follow clusters), so a split can legitimately end up empty —
     # parity and volume conservation are the contract, not 3 rows
     assert got == want and len(got) >= 2
+
+
+# ---------------------------------------------------------------------------
+# exact precision/recall curve (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_pr_curve_known_values(spark):
+    """Hand-computable curve: scores 3,2,2,1 with labels 1,1,0,0."""
+    from esmarc_spark.ops.stats import pr_curve
+
+    rows = [("g", 3, True), ("g", 2, True), ("g", 2, False), ("g", 1, False)]
+    df = spark.createDataFrame(rows, "grp string, s long, y boolean")
+    got = {
+        r["threshold"]: (
+            r["tp"], r["fp"], r["fn"],
+            r["precision_permyriad"], r["recall_permyriad"],
+        )
+        for r in pr_curve(df, "s", "y", "grp").collect()
+    }
+    assert got == {
+        3: (1, 0, 1, 10000, 5000),
+        2: (2, 1, 0, 6666, 10000),
+        1: (2, 2, 0, 5000, 10000),
+    }
+    # a group with no positives is dropped
+    neg = spark.createDataFrame(
+        [("n", 1, False)], "grp string, s long, y boolean"
+    )
+    assert pr_curve(neg, "s", "y", "grp").count() == 0
+
+
+def test_pr_curve_duckdb_parity_and_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.stats import pr_curve, pr_curve_sql
+
+    df = spark.range(400).select(
+        F.concat(F.lit("g"), F.pmod("id", F.lit(3)).cast("string")).alias("grp"),
+        F.pmod(F.xxhash64("id"), F.lit(37)).alias("s"),
+        (F.pmod(F.xxhash64("id") + 7, F.lit(5)) < 2).alias("y"),
+    )
+    got = sorted(tuple(r) for r in pr_curve(df, "s", "y", "grp").collect())
+    got11 = sorted(
+        tuple(r) for r in pr_curve(df.repartition(11), "s", "y", "grp").collect()
+    )
+    assert got == got11 and got
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            pr_curve_sql("SELECT * FROM d", "s", "y", "grp")
+        ).fetchall()
+    )
+    assert got == want
