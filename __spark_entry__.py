@@ -1819,6 +1819,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def shard_manifests(spark, sf):
+        # round 7: per-shard integrity manifest (doc count, token sum,
+        # md5 of the ascending doc-id list) over the token-budget
+        # sharding — the sidecar a training release ships so consumers
+        # can verify shards without re-reading text
+        from esmarc_spark.ops.packing import assign_token_shards, shard_manifest
+        from esmarc_spark.ops.text import token_count
+
+        shards = assign_token_shards(
+            _t(spark, sf, "documents").select(
+                "doc_id", token_count("text").alias("n_tokens")
+            ),
+            budget=4096,
+            bucket=64,
+        )
+        return shard_manifest(shards).orderBy("shard")
+
     def quality_pr_curve(spark, sf):
         # round 7: the full precision/recall curve of the quality model
         # vs the deterministic length label, per language — the
@@ -2137,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-run it every round as queries are added or code changes.
     return {
         # -- zero driver rows yet: new round-7 queries -------------------
+        "shard_manifests": shard_manifests,
         "quality_pr_curve": quality_pr_curve,
         "keywords_incremental": keywords_incremental,
         "url_percent_normalized": url_percent_normalized,
@@ -2547,6 +2565,18 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "shard_manifests": __import__(
+            "esmarc_spark.ops.packing", fromlist=["shard_manifest_sql"]
+        ).shard_manifest_sql(
+            __import__(
+                "esmarc_spark.ops.packing", fromlist=["assign_token_shards_sql"]
+            ).assign_token_shards_sql(
+                "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens"
+                " FROM documents",
+                4096,
+            )
+        )
+        + " ORDER BY shard",
         "quality_pr_curve": __import__(
             "esmarc_spark.ops.stats", fromlist=["pr_curve_sql"]
         ).pr_curve_sql(

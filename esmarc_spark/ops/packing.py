@@ -200,3 +200,45 @@ _c AS (
 SELECT host, doc_id, q6, n_tokens, tokens_before
 FROM _c WHERE tokens_before < {budget}
 """
+
+
+def shard_manifest(shards: DataFrame) -> DataFrame:
+    """Integrity manifest over :func:`assign_token_shards` output — the
+    sidecar a training release publishes so a consumer can verify every
+    shard it downloads: (shard, n_docs, n_tokens, content_md5) where
+    ``content_md5`` hashes the comma-joined ascending doc_id list.
+
+    The digest makes silent truncation/reordering detectable without
+    re-reading any text: a missing or duplicated document changes the
+    md5. Per-shard doc lists are bounded by the token budget (a shard
+    holds ~budget/min-doc-tokens docs), so the collect_list + sort is a
+    bounded per-key fold, never corpus-sized."""
+    return (
+        shards.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda d: d.cast("string"),
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+    )
+
+
+def shard_manifest_sql(shards_sql: str) -> str:
+    """DuckDB replay: identical join order via ORDER BY inside
+    string_agg."""
+    return f"""
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS content_md5
+FROM ({shards_sql})
+GROUP BY shard
+"""

@@ -57,3 +57,54 @@ def test_shards_are_token_balanced(spark):
     for s, tot in totals.items():
         if s != max(totals):  # all but the last shard are filled
             assert budget - max_doc < tot <= budget + max_doc
+
+
+def test_shard_manifest_detects_tampering(spark):
+    """The manifest digest changes when a doc is dropped, duplicated,
+    or moved between shards — and is partition-invariant."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.packing import (
+        assign_token_shards,
+        assign_token_shards_sql,
+        shard_manifest,
+        shard_manifest_sql,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.pmod("id", F.lit(50)) + 10).alias("n_tokens")
+    )
+    shards = assign_token_shards(docs, budget=500, bucket=32)
+    m = {r["shard"]: tuple(r) for r in shard_manifest(shards).collect()}
+    m2 = {
+        r["shard"]: tuple(r)
+        for r in shard_manifest(shards.repartition(13)).collect()
+    }
+    assert m == m2 and len(m) > 3
+    # drop one doc: its shard's digest and counts change, others don't
+    victim = shards.where(F.col("doc_id") == 137).collect()[0]
+    tampered = {
+        r["shard"]: tuple(r)
+        for r in shard_manifest(shards.where(F.col("doc_id") != 137)).collect()
+    }
+    assert tampered[victim["shard"]] != m[victim["shard"]]
+    assert all(
+        tampered[s] == m[s] for s in m if s != victim["shard"]
+    )
+    # duplicating a doc also shows
+    dup = shard_manifest(shards.unionAll(shards.where(F.col("doc_id") == 7)))
+    assert {r["shard"]: tuple(r) for r in dup.collect()} != m
+    # oracle parity
+    con = duckdb.connect()
+    con.register("d", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            shard_manifest_sql(
+                assign_token_shards_sql("SELECT * FROM d", 500)
+            )
+        ).fetchall()
+    )
+    assert sorted(m.values()) == want
