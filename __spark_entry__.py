@@ -1819,6 +1819,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def corpus_stopword_lists(spark, sf):
+        # round 7: data-driven stopword discovery — top-df terms per
+        # language (the vendored dim covers 15 languages; the corpus is
+        # the only source for the rest); rank window runs per language
+        # over its vocabulary
+        from esmarc_spark.ops.keywords import corpus_stopwords
+
+        return corpus_stopwords(
+            _t(spark, sf, "documents"), k=20
+        ).orderBy("lang", "rank")
+
     def shard_manifests(spark, sf):
         # round 7: per-shard integrity manifest (doc count, token sum,
         # md5 of the ascending doc-id list) over the token-budget
@@ -2154,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-run it every round as queries are added or code changes.
     return {
         # -- zero driver rows yet: new round-7 queries -------------------
+        "corpus_stopword_lists": corpus_stopword_lists,
         "shard_manifests": shard_manifests,
         "quality_pr_curve": quality_pr_curve,
         "keywords_incremental": keywords_incremental,
@@ -2565,6 +2577,12 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "corpus_stopword_lists": __import__(
+            "esmarc_spark.ops.keywords", fromlist=["corpus_stopwords_sql"]
+        ).corpus_stopwords_sql(
+            "SELECT doc_id, text, lang FROM documents", 20
+        )
+        + " ORDER BY lang, rank",
         "shard_manifests": __import__(
             "esmarc_spark.ops.packing", fromlist=["shard_manifest_sql"]
         ).shard_manifest_sql(

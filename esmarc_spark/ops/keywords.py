@@ -240,3 +240,70 @@ def ingest_keywords_dump(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def corpus_stopwords(
+    documents: DataFrame,
+    k: int = 30,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+) -> DataFrame:
+    """Data-driven stopword discovery: the top-``k`` terms per language
+    by document frequency — (lang, term, df, rank), rank ordered
+    (df DESC, term ASC). The vendored ``lookups.stopwords`` dim covers
+    15 languages; real crawls meet the other ~185 plus domain-specific
+    function words, and the corpus itself is the only reliable source
+    for those. Shapes: the per-(lang, doc, term) distinct + count are
+    partial-agg; the rank window runs per language over its vocabulary
+    (never the corpus)."""
+    per = (
+        documents.select(
+            F.coalesce(F.col(lang_col), F.lit("")).alias("lang"),
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_t"),
+        )
+        .select(
+            "lang",
+            "doc_id",
+            F.regexp_replace("_t", F.lit(_EDGE_PUNCT), F.lit("")).alias("term"),
+        )
+        .where(F.length("term") >= min_len)
+        .distinct()
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def corpus_stopwords_sql(source_select: str, k: int = 30, min_len: int = 1) -> str:
+    """DuckDB oracle over (doc_id, text, lang)."""
+    return f"""
+WITH _toks AS (
+  SELECT lang, doc_id,
+         regexp_replace(t, '{_EDGE_PUNCT}', '', 'g') AS term
+  FROM (
+    SELECT coalesce(lang, '') AS lang, doc_id,
+           unnest(string_split(lower(text), ' ')) AS t
+    FROM ({source_select})
+  )
+),
+_df AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT lang, doc_id, term FROM _toks
+        WHERE length(term) >= {min_len})
+  GROUP BY 1, 2
+)
+SELECT lang, term, df,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY df DESC, term ASC) AS BIGINT) AS rank
+FROM _df
+QUALIFY rank <= {k}
+"""

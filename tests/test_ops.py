@@ -1075,3 +1075,25 @@ def test_keywords_incremental_df_state(spark, tmp_path):
     got3 = ingest_keywords_dump(spark, docs(150, 200), root, "d2", k=3)
     want3 = extract_keywords(docs(0, 200), k=3).where(F.col("doc_id") >= 150)
     assert kwmap(got3) == kwmap(want3)
+
+
+def test_corpus_stopwords_top_df(spark):
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.keywords import corpus_stopwords
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("en")).otherwise(F.lit("de")).alias("lang"),
+        F.concat(
+            F.lit("the common words here x"), F.col("id").cast("string"),
+            F.lit(" the the"),  # repeats inside a doc count ONCE for df
+        ).alias("text"),
+    )
+    rows = corpus_stopwords(docs, k=2, min_len=1).collect()
+    got = {(r["lang"], r["rank"]): (r["term"], r["df"]) for r in rows}
+    # every doc contains 'the' exactly once for df purposes (distinct),
+    # tie between common/here/words/the at df=20 -> bytewise order
+    assert got[("en", 1)] == ("common", 20)
+    assert got[("de", 1)] == ("common", 20)
+    assert len(rows) == 4  # two langs x k=2
