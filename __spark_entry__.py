@@ -1819,6 +1819,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def page_titles(spark, sf):
+        # round 7: <title>/<h1> extraction with entity decoding (&amp;
+        # decoded last so double-encoded entities stay entities) —
+        # title synthesis covers both attribute orders of damage: plain,
+        # entity-bearing, empty (-> NULL), and absent
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.pagemeta import extract_titles
+
+        d = F.col("doc_id")
+        title_txt = (
+            F.when(d % 5 == 0, F.concat(F.lit("Tom &amp; Jerry "), d.cast("string")))
+            .when(d % 5 == 1, F.concat(F.lit("&lt;tag&gt; "), d.cast("string")))
+            .when(d % 5 == 2, F.lit(""))
+            .otherwise(F.concat(F.lit("Plain "), d.cast("string")))
+        )
+        html = F.concat(
+            F.when(d % 5 == 4, F.lit("<body>no title</body>")).otherwise(
+                F.concat(F.lit("<title> "), title_txt, F.lit(" </title>"))
+            ),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit("<h1>Head&#39;s "), d.cast("string"), F.lit("</h1>")),
+            ).otherwise(F.lit("")),
+        )
+        pages = _t(spark, sf, "documents").select(
+            F.concat(F.lit("u"), d.cast("string")).alias("url"),
+            html.alias("html"),
+        )
+        return extract_titles(pages).orderBy("url")
+
     def corpus_stopword_lists(spark, sf):
         # round 7: data-driven stopword discovery — top-df terms per
         # language (the vendored dim covers 15 languages; the corpus is
@@ -2165,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-run it every round as queries are added or code changes.
     return {
         # -- zero driver rows yet: new round-7 queries -------------------
+        "page_titles": page_titles,
         "corpus_stopword_lists": corpus_stopword_lists,
         "shard_manifests": shard_manifests,
         "quality_pr_curve": quality_pr_curve,
@@ -2577,6 +2609,25 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "page_titles": __import__(
+            "esmarc_spark.ops.pagemeta", fromlist=["extract_titles_sql"]
+        ).extract_titles_sql(
+            """SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                 CASE WHEN doc_id % 5 = 4 THEN '<body>no title</body>'
+                      ELSE '<title> ' ||
+                        CASE WHEN doc_id % 5 = 0
+                               THEN 'Tom &amp; Jerry ' || CAST(doc_id AS VARCHAR)
+                             WHEN doc_id % 5 = 1
+                               THEN '&lt;tag&gt; ' || CAST(doc_id AS VARCHAR)
+                             WHEN doc_id % 5 = 2 THEN ''
+                             ELSE 'Plain ' || CAST(doc_id AS VARCHAR) END
+                        || ' </title>' END
+                 || CASE WHEN doc_id % 3 = 0
+                      THEN '<h1>Head&#39;s ' || CAST(doc_id AS VARCHAR) || '</h1>'
+                      ELSE '' END AS html
+               FROM documents"""
+        )
+        + " ORDER BY url",
         "corpus_stopword_lists": __import__(
             "esmarc_spark.ops.keywords", fromlist=["corpus_stopwords_sql"]
         ).corpus_stopwords_sql(

@@ -163,3 +163,84 @@ SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_pages,
        MIN(_url) AS representative
 FROM _keyed GROUP BY canonical
 """
+
+
+# ---------------------------------------------------------------------------
+# title / h1 extraction (round 7)
+# ---------------------------------------------------------------------------
+#
+# The page title is the cheapest high-precision surface form a crawl
+# yields (it seeds gazetteers, labels KG page nodes, and feeds search
+# snippets); the first <h1> is its on-page counterpart. Same discipline
+# as the directives above: one RE2-safe pattern per signal, shared
+# verbatim with the oracle, plus a fixed entity-decode replace chain
+# (&amp; decoded LAST so "&amp;lt;" correctly yields the literal
+# "&lt;" instead of double-decoding to "<").
+
+_TITLE_RX = r"(?i)<title[^>]*>\s*([^<]*?)\s*</title>"
+_H1_RX = r"(?i)<h1[^>]*>\s*([^<]*?)\s*</h1>"
+
+# (entity, replacement) in decode order — &amp; last by construction
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def _decode_entities(col: F.Column) -> F.Column:
+    for ent, ch in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def _entities_sql(inner: str) -> str:
+    e = inner
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        e = f"replace({e}, '{ent}', '{lit}')"
+    return e
+
+
+def page_title(html: F.Column) -> F.Column:
+    """The page's <title> text (entity-decoded, edge-trimmed), NULL when
+    absent or empty. Accepts string or binary html like is_noindex."""
+    raw = F.regexp_extract(html.cast("string"), _TITLE_RX, 1)
+    return F.nullif(_decode_entities(raw), F.lit(""))
+
+
+def page_h1(html: F.Column) -> F.Column:
+    """The first <h1> text, same contract as :func:`page_title`."""
+    raw = F.regexp_extract(html.cast("string"), _H1_RX, 1)
+    return F.nullif(_decode_entities(raw), F.lit(""))
+
+
+def extract_titles(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, title, h1) per page — map-only codegen."""
+    return df.select(
+        F.col(url_col).alias("url"),
+        page_title(F.col(html_col)).alias("title"),
+        page_h1(F.col(html_col)).alias("h1"),
+    )
+
+
+def extract_titles_sql(
+    source_select: str, html: str = "html", url: str = "url"
+) -> str:
+    """DuckDB oracle: identical patterns and decode chain."""
+    title = _entities_sql(
+        f"regexp_extract({html}, {_sql_quote(_TITLE_RX)}, 1)"
+    )
+    h1 = _entities_sql(f"regexp_extract({html}, {_sql_quote(_H1_RX)}, 1)")
+    return f"""
+SELECT {url} AS url,
+       nullif({title}, '') AS title,
+       nullif({h1}, '') AS h1
+FROM ({source_select})
+"""

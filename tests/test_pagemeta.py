@@ -186,3 +186,35 @@ def test_prepare_docs_pagemeta_flags(spark):
     assert gated == ["https://k.example/a", "https://k.example/c"]
     plain = sorted(r.url for r in prepare_docs(wt).collect())
     assert len(plain) == 4
+
+
+def test_title_h1_extraction_and_entities(spark):
+    import duckdb
+
+    from esmarc_spark.ops.pagemeta import extract_titles, extract_titles_sql
+
+    rows = [
+        ("u1", '<html><head><title> Caf&eacute;? No: Tom &amp; Jerry &lt;3 </title></head><h1 class="x">Head&#39;s up</h1>'),
+        ("u2", "<TITLE>\n  multi\n  line  \n</TITLE>"),
+        ("u3", "<html><body>no title</body>"),
+        ("u4", "<title></title><h1>  </h1>"),  # empty -> NULL
+        ("u5", "<title>&amp;lt; stays entity</title>"),
+        ("u6", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r["url"]: (r["title"], r["h1"]) for r in extract_titles(df).collect()}
+    assert got["u1"] == ("Caf&eacute;? No: Tom & Jerry <3", "Head's up")
+    assert got["u2"][0] == "multi\n  line"  # outer trim, inner kept
+    assert got["u3"] == (None, None)
+    assert got["u4"] == (None, None)
+    assert got["u5"][0] == "&lt; stays entity"  # amp decoded LAST
+    assert got["u6"] == (None, None)
+    con = duckdb.connect()
+    con.register("p", df.toPandas())
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            extract_titles_sql("SELECT * FROM p")
+        ).fetchall()
+    }
+    assert got == want
