@@ -1819,6 +1819,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def kg_entity_cards(spark, sf):
+        # round 7: per-entity profile cards — mention volume, doc
+        # support, surface diversity, dominant surface (min-struct
+        # tie-break), sameAs; the KG consumer-facing rollup
+        from esmarc_spark.ops.kg_documents import entity_cards
+
+        return entity_cards(_t(spark, sf, "documents")).orderBy(
+            "entity_type", "authority_id"
+        )
+
     def page_titles(spark, sf):
         # round 7: <title>/<h1> extraction with entity decoding (&amp;
         # decoded last so double-encoded entities stay entities) —
@@ -2196,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-run it every round as queries are added or code changes.
     return {
         # -- zero driver rows yet: new round-7 queries -------------------
+        "kg_entity_cards": kg_entity_cards,
         "page_titles": page_titles,
         "corpus_stopword_lists": corpus_stopword_lists,
         "shard_manifests": shard_manifests,
@@ -2609,6 +2620,10 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "kg_entity_cards": __import__(
+            "esmarc_spark.ops.kg_documents", fromlist=["ENTITY_CARDS_SQL"]
+        ).ENTITY_CARDS_SQL
+        + " ORDER BY entity_type, authority_id",
         "page_titles": __import__(
             "esmarc_spark.ops.pagemeta", fromlist=["extract_titles_sql"]
         ).extract_titles_sql(

@@ -284,3 +284,74 @@ FROM (
   FROM m JOIN sup ON sup.doc_id = m.doc_id AND sup.entity_type = m.entity_type
 ) WHERE rn = 1
 """
+
+
+def entity_cards(documents: DataFrame) -> DataFrame:
+    """Per-entity profile card — the rollup a KG consumer reads before
+    trusting an entity (reference analogue: the per-entity JSON-LD
+    docs esmarc emits; here the corpus statistics are folded in):
+    (entity_type, authority_id, n_mentions, n_docs, n_surfaces,
+    top_surface, same_as). ``top_surface`` is the most frequent surface
+    form with bytewise-min tie-break (the host_rollup min-struct
+    recipe). All shuffles are partial-agg groupBys bounded by entities
+    x surfaces; no window over mentions."""
+    m = doc_mentions(documents)
+    per_surface = m.groupBy("entity_type", "authority_id", "surface_form").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    top = F.min(
+        F.struct((-F.col("_cnt")).alias("_nc"), F.col("surface_form").alias("_s"))
+    ).alias("_top")
+    cards = per_surface.groupBy("entity_type", "authority_id").agg(
+        F.sum("_cnt").alias("n_mentions"),
+        F.count(F.lit(1)).alias("n_surfaces"),
+        top,
+    )
+    docs = (
+        m.select("entity_type", "authority_id", "doc_id")
+        .distinct()
+        .groupBy("entity_type", "authority_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return cards.join(docs, ["entity_type", "authority_id"]).select(
+        "entity_type",
+        "authority_id",
+        "n_mentions",
+        "n_docs",
+        "n_surfaces",
+        F.col("_top._s").alias("top_surface"),
+        F.concat(F.lit(GND), F.col("authority_id")).alias("same_as"),
+    )
+
+
+ENTITY_CARDS_SQL = f"""
+WITH m AS ({DOC_MENTIONS_SQL}),
+per AS (
+  SELECT entity_type, authority_id, surface_form, COUNT(*) AS cnt
+  FROM m GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT entity_type, authority_id, surface_form, cnt,
+         row_number() OVER (PARTITION BY entity_type, authority_id
+                            ORDER BY cnt DESC, surface_form ASC) AS rn,
+         CAST(SUM(cnt) OVER (PARTITION BY entity_type, authority_id)
+              AS BIGINT) AS n_mentions,
+         CAST(COUNT(*) OVER (PARTITION BY entity_type, authority_id)
+              AS BIGINT) AS n_surfaces
+  FROM per
+),
+cards AS (
+  SELECT entity_type, authority_id, n_mentions, n_surfaces,
+         surface_form AS top_surface
+  FROM ranked WHERE rn = 1
+),
+docs AS (
+  SELECT entity_type, authority_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM (SELECT DISTINCT entity_type, authority_id, doc_id FROM m)
+  GROUP BY 1, 2
+)
+SELECT c.entity_type, c.authority_id, c.n_mentions, d.n_docs,
+       c.n_surfaces, c.top_surface,
+       '{GND}' || c.authority_id AS same_as
+FROM cards c JOIN docs d USING (entity_type, authority_id)
+"""
