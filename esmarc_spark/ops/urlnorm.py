@@ -112,7 +112,9 @@ GROUP BY curl ORDER BY curl
 
 
 def dedup_by_canonical_url(
-    webtext: DataFrame, group_cols: tuple[str, ...] = ()
+    webtext: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    percent_normalize: bool = False,
 ) -> DataFrame:
     """One row per canonical url: latest crawl wins (max_by warc_ts,
     ties broken by the raw url for determinism). Single uniform-keyed
@@ -125,10 +127,20 @@ def dedup_by_canonical_url(
 
     ``group_cols`` adds extra grouping keys: the single-job backfill
     passes ("pday",) so canonical dedup stays PER-DAY, byte-identical
-    to running the per-day loop (round 6)."""
+    to running the per-day loop (round 6).
+
+    ``percent_normalize`` (round 7, default OFF to keep the pinned
+    byte-identity of existing callers) applies the RFC 3986 safe
+    percent normalization (:func:`normalize_percent_encoding`) BEFORE
+    the six canonical rules, collapsing /%41b vs /Ab and %c3 vs %C3
+    variants of the same page."""
     cols = webtext.columns
+    key_src = (
+        normalize_percent_encoding("url") if percent_normalize
+        else F.col("url")
+    )
     return (
-        webtext.withColumn("_curl", canonical_url(F.col("url")))
+        webtext.withColumn("_curl", canonical_url(key_src))
         .groupBy("_curl", *group_cols)
         .agg(
             F.max_by(

@@ -63,6 +63,7 @@ def prepare_docs(
     webtext: DataFrame,
     *,
     canonical_url_dedup: bool = False,
+    percent_normalize: bool = False,
     drop_noindex: bool = False,
     rel_canonical_dedup: bool = False,
     main_content: bool = False,
@@ -112,7 +113,9 @@ def prepare_docs(
        meta-robots noindex directive are dropped (ops.pagemeta;
        map-only regex). BEFORE any dedup, so a noindex page can
        neither survive a group nor displace an indexable duplicate;
-    2. canonical-url dedup — collapses url variants before S1;
+    2. canonical-url dedup — collapses url variants before S1 (with
+       ``percent_normalize``, RFC 3986 safe percent normalization is
+       applied to the grouping key first — /%41b and /Ab collapse);
     2b. declared-canonical dedup — when ``rel_canonical_dedup``, one
        row per rel=canonical declaration (ops.pagemeta) — collapses
        print/mobile/session duplicates whose urls normalize
@@ -172,7 +175,9 @@ def prepare_docs(
     if canonical_url_dedup:
         from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
 
-        webtext = dedup_by_canonical_url(webtext)
+        webtext = dedup_by_canonical_url(
+            webtext, percent_normalize=percent_normalize
+        )
     if rel_canonical_dedup:
         from esmarc_spark.ops.pagemeta import dedup_by_declared_canonical
 
@@ -279,6 +284,7 @@ def run_pipeline(
     mentions_mode: str = "ngram",
     source_index: str = "webtext",
     canonical_url_dedup: bool = False,
+    percent_normalize: bool = False,
     drop_noindex: bool = False,
     rel_canonical_dedup: bool = False,
     main_content: bool = False,
@@ -351,6 +357,7 @@ def run_pipeline(
     docs = prepare_docs(
         webtext,
         canonical_url_dedup=canonical_url_dedup,
+        percent_normalize=percent_normalize,
         drop_noindex=drop_noindex,
         rel_canonical_dedup=rel_canonical_dedup,
         main_content=main_content,
@@ -403,6 +410,7 @@ def _curated_day_docs(
     min_rank_scaled = cur.pop("min_rank_scaled", 0)
     keep_unranked = cur.pop("keep_unranked", True)
     canon = cur.pop("canonical_url_dedup", False)
+    pct = cur.pop("percent_normalize", False)
     noindex = cur.pop("drop_noindex", False)
     rel_canon = cur.pop("rel_canonical_dedup", False)
     work = part
@@ -431,7 +439,9 @@ def _curated_day_docs(
     if canon:
         from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
 
-        work = dedup_by_canonical_url(work, group_cols=("pday",))
+        work = dedup_by_canonical_url(
+            work, group_cols=("pday",), percent_normalize=pct
+        )
     if rel_canon:
         # stage 2b on the UNFOLDED url (the key falls back to the raw
         # url for undeclared pages), grouped per pday like stage 2

@@ -129,3 +129,38 @@ def test_percent_normalization_rules(spark):
         "norm", normalize_percent_encoding("url")
     )
     assert null_df.collect()[0]["norm"] is None
+
+
+def test_canonical_dedup_with_percent_normalize(spark):
+    """percent_normalize collapses /%41b vs /Ab variants into one
+    canonical group (latest crawl wins); default OFF keeps them apart."""
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.urlnorm import dedup_by_canonical_url
+
+    rows = [
+        ("https://ex.com/%41b", "2024-01-01 10:00:00", "older"),
+        ("https://ex.com/Ab", "2024-01-02 10:00:00", "newer"),
+        ("https://ex.com/other", "2024-01-01 10:00:00", "solo"),
+    ]
+    wt = spark.createDataFrame(
+        rows, "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    off = dedup_by_canonical_url(wt)
+    assert off.count() == 3  # default: the variants stay distinct rows
+    on = dedup_by_canonical_url(wt, percent_normalize=True)
+    got = {r["url"]: r["text"] for r in on.collect()}
+    assert got == {
+        "https://ex.com/Ab": "newer",  # normalized key, max_by survivor
+        "https://ex.com/other": "solo",
+    }
+    # prepare_docs knob reaches the same collapse
+    from esmarc_spark.pipeline.run import prepare_docs
+
+    web = wt.withColumn("html", F.lit(None).cast("binary")).withColumn(
+        "lang", F.lit("en")
+    )
+    docs = prepare_docs(
+        web, canonical_url_dedup=True, percent_normalize=True
+    )
+    assert docs.count() == 2
