@@ -1819,6 +1819,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def hreflang_link_pairs(spark, sf):
+        # round 7: alternate-language declarations — docs cluster in
+        # threes (doc_id div 3), each page declaring its cluster's de
+        # variant plus x-default; quote styles and attribute orders
+        # alternate by parity
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.pagemeta import hreflang_links
+
+        d = F.col("doc_id")
+        c = (d - F.pmod(d, F.lit(3))).cast("string")
+        html = F.concat(
+            F.when(
+                d % 2 == 0,
+                F.concat(
+                    F.lit('<link rel="alternate" hreflang="de" href="https://ex.com/c'),
+                    c, F.lit('/de">'),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("<link hreflang='DE' href='https://ex.com/c"),
+                    c, F.lit("/de' rel='alternate'>"),
+                )
+            ),
+            F.lit('<link rel="alternate" hreflang="x-default" href="https://ex.com/c'),
+            c, F.lit('/">'),
+            F.lit('<link rel="stylesheet" href="/css">'),
+        )
+        pages = _t(spark, sf, "documents").select(
+            F.concat(F.lit("https://ex.com/c"), c, F.lit("/p"), d.cast("string")).alias("url"),
+            html.alias("html"),
+        )
+        return hreflang_links(pages).orderBy("url", "hreflang")
+
     def kg_entity_cards(spark, sf):
         # round 7: per-entity profile cards — mention volume, doc
         # support, surface diversity, dominant surface (min-struct
@@ -2206,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-run it every round as queries are added or code changes.
     return {
         # -- zero driver rows yet: new round-7 queries -------------------
+        "hreflang_link_pairs": hreflang_link_pairs,
         "kg_entity_cards": kg_entity_cards,
         "page_titles": page_titles,
         "corpus_stopword_lists": corpus_stopword_lists,
@@ -2620,6 +2655,25 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "hreflang_link_pairs": __import__(
+            "esmarc_spark.ops.pagemeta", fromlist=["hreflang_links_sql"]
+        ).hreflang_links_sql(
+            """SELECT 'https://ex.com/c'
+                 || CAST(doc_id - doc_id % 3 AS VARCHAR)
+                 || '/p' || CAST(doc_id AS VARCHAR) AS url,
+                 CASE WHEN doc_id % 2 = 0
+                   THEN '<link rel="alternate" hreflang="de" href="https://ex.com/c'
+                        || CAST(doc_id - doc_id % 3 AS VARCHAR) || '/de">'
+                   ELSE '<link hreflang=''DE'' href=''https://ex.com/c'
+                        || CAST(doc_id - doc_id % 3 AS VARCHAR)
+                        || '/de'' rel=''alternate''>'
+                 END
+                 || '<link rel="alternate" hreflang="x-default" href="https://ex.com/c'
+                 || CAST(doc_id - doc_id % 3 AS VARCHAR) || '/">'
+                 || '<link rel="stylesheet" href="/css">' AS html
+               FROM documents"""
+        )
+        + " ORDER BY url, hreflang",
         "kg_entity_cards": __import__(
             "esmarc_spark.ops.kg_documents", fromlist=["ENTITY_CARDS_SQL"]
         ).ENTITY_CARDS_SQL

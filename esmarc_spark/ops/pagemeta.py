@@ -244,3 +244,76 @@ SELECT {url} AS url,
        nullif({h1}, '') AS h1
 FROM ({source_select})
 """
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternate-language links (round 7)
+# ---------------------------------------------------------------------------
+#
+# ``<link rel="alternate" hreflang="de" href="...">`` declares the
+# same content in another language — the signal multilingual corpora
+# use to build parallel-document pairs (translation training data) and
+# to avoid counting a 40-language site as 40 independent documents.
+# Element-level extraction (the ANCHOR_PATTERN recipe): pull whole
+# <link ...> elements, keep those declaring rel=alternate AND an
+# hreflang, then per-element group extraction — attribute order free.
+
+_LINK_ELEMENT_RX = r"(?i)<link\b[^>]*>"
+_REL_ALTERNATE_RX = r'(?i)rel\s*=\s*["\x27]?alternate'
+_HREFLANG_RX = r'(?i)hreflang\s*=\s*["\x27]?([a-zA-Z-]+)'
+_HREF_RX = r'(?i)href\s*=\s*["\x27]?([^"\x27 >]+)'
+
+
+def hreflang_links(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, hreflang, href) per alternate-language declaration —
+    lowercased language tag; self-referential declarations (href ==
+    url, the spec-recommended self row) are kept so consumers see the
+    full declared cluster. Map-only element explode."""
+    elems = df.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"),
+                F.lit(_LINK_ELEMENT_RX),
+                F.lit(0),
+            )
+        ).alias("elem"),
+    )
+    return (
+        elems.where(
+            F.col("elem").rlike(_REL_ALTERNATE_RX)
+            & (F.regexp_extract("elem", _HREFLANG_RX, 1) != "")
+            & (F.regexp_extract("elem", _HREF_RX, 1) != "")
+        )
+        .select(
+            "url",
+            F.lower(F.regexp_extract("elem", _HREFLANG_RX, 1)).alias("hreflang"),
+            F.regexp_extract("elem", _HREF_RX, 1).alias("href"),
+        )
+    )
+
+
+def hreflang_links_sql(
+    source_select: str, html: str = "html", url: str = "url"
+) -> str:
+    """DuckDB oracle: identical element pattern and group extraction."""
+    link = _sql_quote(_LINK_ELEMENT_RX)
+    alt = _sql_quote(_REL_ALTERNATE_RX)
+    lang = _sql_quote(_HREFLANG_RX)
+    href = _sql_quote(_HREF_RX)
+    return f"""
+WITH _elems AS (
+  SELECT {url} AS url,
+         unnest(regexp_extract_all({html}, {link})) AS elem
+  FROM ({source_select})
+)
+SELECT url,
+       lower(regexp_extract(elem, {lang}, 1)) AS hreflang,
+       regexp_extract(elem, {href}, 1) AS href
+FROM _elems
+WHERE regexp_matches(elem, {alt})
+  AND regexp_extract(elem, {lang}, 1) <> ''
+  AND regexp_extract(elem, {href}, 1) <> ''
+"""

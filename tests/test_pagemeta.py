@@ -218,3 +218,33 @@ def test_title_h1_extraction_and_entities(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_hreflang_links_extraction(spark):
+    import duckdb
+
+    from esmarc_spark.ops.pagemeta import hreflang_links, hreflang_links_sql
+
+    rows = [
+        ("u1", '<link rel="alternate" hreflang="de" href="https://ex.com/de">'
+               "<link hreflang='FR' href='https://ex.com/fr' rel='alternate'>"
+               '<link rel="alternate" hreflang="x-default" href="https://ex.com/">'
+               '<link rel="stylesheet" href="/css">'      # not alternate
+               '<link rel="alternate" type="application/rss+xml" href="/feed">'),  # no hreflang
+        ("u2", "<html>no links</html>"),
+        ("u3", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = sorted(tuple(r) for r in hreflang_links(df).collect())
+    assert got == [
+        ("u1", "de", "https://ex.com/de"),
+        ("u1", "fr", "https://ex.com/fr"),
+        ("u1", "x-default", "https://ex.com/"),
+    ]
+    con = duckdb.connect()
+    con.register("p", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(hreflang_links_sql("SELECT * FROM p")).fetchall()
+    )
+    assert got == want
