@@ -28,7 +28,7 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> None:
-    per_dump = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    per_dump = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_dumps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
     from pyspark.sql import functions as F
@@ -50,15 +50,21 @@ def main() -> None:
     d = F.col("id")
 
     def pages(lo, hi):
-        dst = F.pmod(d * 7 + 3, F.lit(5000)).cast("string")
+        # TWO links with coprime multipliers: each dst host collects
+        # many distinct linking hosts (a single-multiplier synthesis is
+        # a 1:1 residue map — every vote count 1, empty gazetteer)
+        dst1 = F.pmod(d * 7 + 3, F.lit(5000)).cast("string")
+        dst2 = F.pmod(d * 11 + 5, F.lit(5000)).cast("string")
         return spark.range(lo, hi).select(
             F.concat(
                 F.lit("https://h"), F.pmod(d, F.lit(5000)).cast("string"),
                 F.lit(".example/p/"), d.cast("string"),
             ).alias("url"),
             F.concat(
-                F.lit('<a href="https://h'), dst,
-                F.lit('.example/x">brand '), dst, F.lit(" official</a>"),
+                F.lit('<a href="https://h'), dst1,
+                F.lit('.example/x">brand '), dst1, F.lit(" official</a>"),
+                F.lit('<a href="https://h'), dst2,
+                F.lit('.example/y">brand '), dst2, F.lit(" official</a>"),
             ).alias("html"),
         )
 
