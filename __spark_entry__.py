@@ -1819,6 +1819,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def robots_crawl_delays(spark, sf):
+        # round 7: star-agent Crawl-delay extraction — the politeness
+        # interval schedule_frontier's waves multiply by; only
+        # even-residue hosts carry a star block (its delay is 10), the
+        # others' specialbot-only delay must NOT surface
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.robots import crawl_delays
+
+        docs = _t(spark, sf, "documents")
+        robots = (
+            docs.select(F.pmod(F.col("doc_id"), F.lit(7)).alias("r"))
+            .distinct()
+            .select(
+                F.concat(
+                    F.lit("s"), F.col("r").cast("string"), F.lit(".example")
+                ).alias("host"),
+                F.when(F.col("r") % 2 == 0, F.lit(_ROBOTS_STAR))
+                .otherwise(F.lit(_ROBOTS_NOSTAR + "\nCrawl-delay: 99"))
+                .alias("robots_txt"),
+            )
+        )
+        return crawl_delays(robots).orderBy("host")
+
+    def sitemap_index_lists(spark, sf):
+        # round 7: sitemapindex child-file worklist — per host, two
+        # child sitemaps (one dated, one not), plus a loc-less entry
+        # that must drop
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.sitemap import parse_sitemap_index
+
+        d = F.col("doc_id")
+        day = F.lpad((F.pmod(d, F.lit(27)) + 1).cast("string"), 2, "0")
+        xml = F.concat(
+            F.lit("<sitemapindex>\n <sitemap><loc>https://m"),
+            F.pmod(d, F.lit(5)).cast("string"),
+            F.lit(".example/sm"), d.cast("string"),
+            F.lit("a.xml</loc><lastmod>2024-01-"), day,
+            F.lit("</lastmod></sitemap>\n <sitemap><loc>https://m"),
+            F.pmod(d, F.lit(5)).cast("string"),
+            F.lit(".example/sm"), d.cast("string"),
+            F.lit("b.xml.gz</loc></sitemap>\n"),
+            F.lit("<sitemap><lastmod>2024-01-01</lastmod></sitemap>"),
+            F.lit("</sitemapindex>"),
+        )
+        idx = _t(spark, sf, "documents").select(
+            F.concat(
+                F.lit("m"), F.pmod(d, F.lit(5)).cast("string"),
+                F.lit(".example"),
+            ).alias("host"),
+            xml.alias("sitemap_xml"),
+        )
+        return parse_sitemap_index(idx).orderBy("sitemap_url")
+
     def hreflang_link_pairs(spark, sf):
         # round 7: alternate-language declarations — docs cluster in
         # threes (doc_id div 3), each page declaring its cluster's de
@@ -2240,6 +2295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-run it every round as queries are added or code changes.
     return {
         # -- zero driver rows yet: new round-7 queries -------------------
+        "robots_crawl_delays": robots_crawl_delays,
+        "sitemap_index_lists": sitemap_index_lists,
         "hreflang_link_pairs": hreflang_link_pairs,
         "kg_entity_cards": kg_entity_cards,
         "page_titles": page_titles,
@@ -2655,6 +2712,34 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "robots_crawl_delays": __import__(
+            "esmarc_spark.ops.robots", fromlist=["crawl_delays_sql"]
+        ).crawl_delays_sql(
+            f"""SELECT 's' || CAST(r AS VARCHAR) || '.example' AS host,
+                 CASE WHEN r % 2 = 0 THEN '{_ROBOTS_STAR}'
+                      ELSE '{_ROBOTS_NOSTAR}' || chr(10) || 'Crawl-delay: 99'
+                 END AS robots_txt
+               FROM (SELECT DISTINCT doc_id % 7 AS r FROM documents)"""
+        )
+        + " ORDER BY host",
+        "sitemap_index_lists": __import__(
+            "esmarc_spark.ops.sitemap", fromlist=["parse_sitemap_index_sql"]
+        ).parse_sitemap_index_sql(
+            """SELECT 'm' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+                 '<sitemapindex>' || chr(10)
+                 || ' <sitemap><loc>https://m' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example/sm' || CAST(doc_id AS VARCHAR)
+                 || 'a.xml</loc><lastmod>2024-01-'
+                 || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+                 || '</lastmod></sitemap>' || chr(10)
+                 || ' <sitemap><loc>https://m' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example/sm' || CAST(doc_id AS VARCHAR)
+                 || 'b.xml.gz</loc></sitemap>' || chr(10)
+                 || '<sitemap><lastmod>2024-01-01</lastmod></sitemap>'
+                 || '</sitemapindex>' AS sitemap_xml
+               FROM documents"""
+        )
+        + " ORDER BY sitemap_url",
         "hreflang_link_pairs": __import__(
             "esmarc_spark.ops.pagemeta", fromlist=["hreflang_links_sql"]
         ).hreflang_links_sql(

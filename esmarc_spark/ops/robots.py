@@ -13,7 +13,10 @@ longest-rule-wins specificity with Allow winning length ties, and
 unmatched URLs allowed. Out of scope (documented, not silently wrong):
 per-bot agent selection (callers wanting a specific UA pre-filter their
 robots corpus), percent-encoding normalization (pair with
-``ops.urlnorm`` upstream), and ``Crawl-delay``/``Sitemap`` extensions.
+``ops.urlnorm`` upstream), and ``Sitemap:`` lines (``ops.sitemap``
+consumes sitemap files directly). The de-facto ``Crawl-delay``
+extension IS consumed — :func:`crawl_delays` below feeds the
+politeness interval of ``ops.sitemap.schedule_frontier``.
 
 Cross-engine determinism: rule parsing is pure string/window Catalyst;
 rule paths compile to regex IN-ENGINE via a shared escape chain (the
@@ -313,4 +316,133 @@ SELECT s.key, s.url,
        coalesce(m.directive = 'allow', true) AS allowed,
        m.rule, m.directive
 FROM _sel s LEFT JOIN (SELECT * FROM _matched WHERE rn = 1) m USING (key)
+"""
+
+
+def crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, crawl_delay_sec) from the ``*``-agent block's
+    ``Crawl-delay`` line (a de-facto extension most crawlers honor;
+    RFC 9309 leaves it undefined, so only integer-second values are
+    consumed and the MINIMUM wins if a file repeats it). Hosts without
+    a star block or without the directive are absent — the fetcher's
+    default politeness interval applies. Composes with
+    ``ops.sitemap.schedule_frontier``: earliest fetch time of wave k on
+    a host is (k - 1) * crawl_delay_sec."""
+    w = Window.partitionBy("host").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias("pos", "_raw"),
+    ).select(
+        "host",
+        "pos",
+        F.regexp_replace(
+            F.regexp_replace("_raw", F.lit("#.*$"), F.lit("")),
+            F.lit(_WS_TRIM),
+            F.lit(""),
+        ).alias("line"),
+    )
+    fields = lines.select(
+        "host",
+        "pos",
+        F.lower(
+            F.regexp_replace(
+                F.regexp_extract("line", r"^([^:]+):", 1),
+                F.lit(_WS_TRIM),
+                F.lit(""),
+            )
+        ).alias("key"),
+        F.regexp_replace(
+            F.regexp_replace("line", r"^[^:]*:", ""), F.lit(_WS_TRIM), F.lit("")
+        ).alias("value"),
+    )
+    flagged = fields.select(
+        "*",
+        (
+            (F.col("key") == "user-agent")
+            & ~F.coalesce(
+                F.lag(F.col("key") == "user-agent").over(w), F.lit(False)
+            )
+        ).alias("_starts_block"),
+        (F.col("key") == "user-agent").alias("is_ua"),
+    )
+    marked = flagged.select(
+        "*",
+        F.sum(F.col("_starts_block").cast("int")).over(run).alias("block_id"),
+    ).select(
+        "*",
+        F.max(F.when(F.col("is_ua"), F.col("block_id"))).over(run).alias(
+            "rule_block"
+        ),
+    )
+    star = (
+        marked.where(F.col("is_ua") & (F.col("value") == "*"))
+        .select("host", F.col("block_id").alias("rule_block"))
+        .distinct()
+    )
+    return (
+        marked.where(
+            (F.col("key") == "crawl-delay") & F.col("value").rlike("^[0-9]+$")
+        )
+        .join(star, ["host", "rule_block"], "semi")
+        .groupBy("host")
+        .agg(F.min(F.col("value").cast("long")).alias("crawl_delay_sec"))
+    )
+
+
+def crawl_delays_sql(robots_select: str) -> str:
+    """DuckDB replay of :func:`crawl_delays` (same block windows as
+    parse_robots_sql)."""
+    return f"""
+WITH _robots AS ({robots_select}),
+_lines AS (
+  SELECT host, pos,
+         regexp_replace(regexp_replace(raw, '#.*$', ''),
+                        '{_WS_TRIM}', '', 'g') AS line
+  FROM (
+    SELECT host,
+           generate_subscripts(string_split(robots_txt, chr(10)), 1) AS pos,
+           unnest(string_split(robots_txt, chr(10))) AS raw
+    FROM _robots
+  )
+),
+_fields AS (
+  SELECT host, pos,
+         lower(regexp_replace(regexp_extract(line, '^([^:]+):', 1),
+                              '{_WS_TRIM}', '', 'g')) AS key,
+         regexp_replace(regexp_replace(line, '^[^:]*:', ''),
+                        '{_WS_TRIM}', '', 'g') AS value
+  FROM _lines
+),
+_flagged AS (
+  SELECT *, key = 'user-agent' AS is_ua,
+         (key = 'user-agent'
+          AND NOT coalesce(lag(key = 'user-agent')
+              OVER (PARTITION BY host ORDER BY pos), false)) AS starts_block
+  FROM _fields
+),
+_marked AS (
+  SELECT *, SUM(CASE WHEN starts_block THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS block_id
+  FROM _flagged
+),
+_blocked AS (
+  SELECT *, MAX(CASE WHEN is_ua THEN block_id END)
+           OVER (PARTITION BY host ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS rule_block
+  FROM _marked
+),
+_star AS (
+  SELECT DISTINCT host, block_id AS rule_block FROM _blocked
+  WHERE is_ua AND value = '*'
+)
+SELECT b.host, CAST(MIN(CAST(b.value AS BIGINT)) AS BIGINT) AS crawl_delay_sec
+FROM _blocked b JOIN _star s USING (host, rule_block)
+WHERE b.key = 'crawl-delay' AND regexp_matches(b.value, '^[0-9]+$')
+GROUP BY b.host
 """

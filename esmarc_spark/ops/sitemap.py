@@ -202,3 +202,51 @@ _w AS (
 )
 SELECT _w.*{rank_col} FROM _w {rank_join}
 """
+
+
+SITEMAP_ELEMENT_PATTERN = r"(?s)<sitemap>.*?</sitemap>"
+
+
+def parse_sitemap_index(
+    indexes: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """(host, sitemap_url, lastmod date|NULL) from ``<sitemapindex>``
+    files — the fetch WORKLIST of child sitemap files (feed the fetched
+    children back through :func:`parse_sitemaps`); same element-regex
+    recipe, ``<loc>`` required."""
+    elems = indexes.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(xml_col), F.lit(SITEMAP_ELEMENT_PATTERN), F.lit(0)
+            )
+        ).alias("elem"),
+    )
+    loc = F.regexp_extract("elem", r"<loc>\s*([^<\s]+)\s*</loc>", 1)
+    lastmod = F.regexp_extract("elem", r"<lastmod>\s*(\d{4}-\d{2}-\d{2})", 1)
+    return elems.select(
+        "host",
+        loc.alias("sitemap_url"),
+        F.when(lastmod != "", F.to_date(lastmod)).alias("lastmod"),
+    ).where(F.col("sitemap_url") != "")
+
+
+def parse_sitemap_index_sql(indexes_select: str) -> str:
+    """DuckDB replay of :func:`parse_sitemap_index`."""
+    return f"""
+WITH _idx AS ({indexes_select}),
+_elems AS (
+  SELECT host,
+         unnest(regexp_extract_all(sitemap_xml, '(?s)<sitemap>.*?</sitemap>')) AS elem
+  FROM _idx
+)
+SELECT host,
+       regexp_extract(elem, '<loc>\\s*([^<\\s]+)\\s*</loc>', 1) AS sitemap_url,
+       CASE WHEN regexp_extract(elem, '<lastmod>\\s*(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1) <> ''
+            THEN CAST(regexp_extract(elem,
+                 '<lastmod>\\s*(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1) AS DATE) END AS lastmod
+FROM _elems
+WHERE regexp_extract(elem, '<loc>\\s*([^<\\s]+)\\s*</loc>', 1) <> ''
+"""

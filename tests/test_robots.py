@@ -154,3 +154,34 @@ def test_duckdb_parity_and_partition_invariance(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_crawl_delays_star_scope_and_min(spark):
+    import duckdb
+
+    from esmarc_spark.ops.robots import crawl_delays, crawl_delays_sql
+
+    robots = spark.createDataFrame(
+        [
+            # star block delay 5 (and a repeated 9 -> min wins)
+            ("a.com", "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n"
+                      "User-agent: *\nCrawl-delay: 9"),
+            # delay only in a non-star block: absent for us
+            ("b.com", "User-agent: other\nCrawl-delay: 30"),
+            # non-integer value ignored
+            ("c.com", "User-agent: *\nCrawl-delay: 0.5"),
+            ("d.com", "User-agent: *\nDisallow: /"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r["crawl_delay_sec"] for r in crawl_delays(robots).collect()}
+    assert got == {"a.com": 5}
+    con = duckdb.connect()
+    con.register("r", robots.toPandas())
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            crawl_delays_sql("SELECT host, robots_txt FROM r")
+        ).fetchall()
+    }
+    assert got == want

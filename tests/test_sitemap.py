@@ -152,3 +152,33 @@ def test_schedule_frontier_waves_and_ranks(spark):
         ).fetchall()
     )
     assert got_rows == want
+
+
+def test_parse_sitemap_index(spark):
+    from esmarc_spark.ops.sitemap import parse_sitemap_index, parse_sitemap_index_sql
+
+    idx = spark.createDataFrame(
+        [(
+            "ex.com",
+            """<sitemapindex>
+             <sitemap><loc>https://ex.com/sm1.xml</loc><lastmod>2024-02-01</lastmod></sitemap>
+             <sitemap><loc>https://ex.com/sm2.xml.gz</loc></sitemap>
+             <sitemap><lastmod>2024-01-01</lastmod></sitemap>
+            </sitemapindex>""",
+        )],
+        "host string, sitemap_xml string",
+    )
+    got = sorted(tuple(map(str, r)) for r in parse_sitemap_index(idx).collect())
+    assert got == [
+        ("ex.com", "https://ex.com/sm1.xml", "2024-02-01"),
+        ("ex.com", "https://ex.com/sm2.xml.gz", "None"),
+    ]
+    con = duckdb.connect()
+    con.register("i", idx.toPandas())
+    want = sorted(
+        tuple(map(str, r))
+        for r in con.execute(
+            parse_sitemap_index_sql("SELECT * FROM i")
+        ).fetchall()
+    )
+    assert got == want
