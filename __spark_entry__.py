@@ -1819,6 +1819,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def polite_frontier(spark, sf):
+        # round 7 capstone COMPOSITION, crawl-side closing chain:
+        # sitemap discovery -> freshness fetch list -> per-host
+        # politeness waves x robots Crawl-delay clock (undeclared hosts
+        # take the default) -> authority dim; every stage an
+        # oracle-checked operator, replayed stage-SQL-into-stage-SQL
+        from pyspark.sql import functions as F
+
+        from esmarc_spark.ops.robots import crawl_delays
+        from esmarc_spark.ops.sitemap import (
+            fetch_candidates,
+            parse_sitemaps,
+            schedule_polite_frontier,
+        )
+
+        sitemaps, crawled = _sitemap_inputs(spark, sf)
+        docs = _t(spark, sf, "documents")
+        hosts = (
+            docs.select(F.pmod(F.col("doc_id"), F.lit(5)).alias("r")).distinct()
+        )
+        robots = hosts.select(
+            F.concat(F.lit("m"), F.col("r").cast("string"),
+                     F.lit(".example")).alias("host"),
+            F.when(F.col("r") % 2 == 0, F.lit(_ROBOTS_STAR))
+            .otherwise(F.lit(_ROBOTS_NOSTAR))
+            .alias("robots_txt"),
+        )
+        ranks = hosts.select(
+            F.concat(F.lit("m"), F.col("r").cast("string"),
+                     F.lit(".example")).alias("host"),
+            ((F.col("r") * F.col("r") + 3) * 1_000_000_000)
+            .cast("bigint")
+            .alias("rank_scaled"),
+        )
+        return schedule_polite_frontier(
+            fetch_candidates(parse_sitemaps(sitemaps), crawled),
+            crawl_delays(robots),
+            default_delay_sec=3,
+            host_ranks=ranks,
+        ).orderBy("host", "wave", "url")
+
     def robots_crawl_delays(spark, sf):
         # round 7: star-agent Crawl-delay extraction — the politeness
         # interval schedule_frontier's waves multiply by; only
@@ -2295,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-run it every round as queries are added or code changes.
     return {
         # -- zero driver rows yet: new round-7 queries -------------------
+        "polite_frontier": polite_frontier,
         "robots_crawl_delays": robots_crawl_delays,
         "sitemap_index_lists": sitemap_index_lists,
         "hreflang_link_pairs": hreflang_link_pairs,
@@ -2712,6 +2754,30 @@ GROUP BY lang_guess ORDER BY lang_guess
             200,
         )
         + " ORDER BY doc_id",
+        "polite_frontier": __import__(
+            "esmarc_spark.ops.sitemap",
+            fromlist=["schedule_polite_frontier_sql"],
+        ).schedule_polite_frontier_sql(
+            __import__(
+                "esmarc_spark.ops.sitemap", fromlist=["fetch_candidates_sql"]
+            ).fetch_candidates_sql(
+                __import__(
+                    "esmarc_spark.ops.sitemap", fromlist=["parse_sitemaps_sql"]
+                ).parse_sitemaps_sql(_SM_PAGES_SQL),
+                _SM_CRAWL_SQL,
+            ),
+            __import__(
+                "esmarc_spark.ops.robots", fromlist=["crawl_delays_sql"]
+            ).crawl_delays_sql(
+                f"""SELECT 'm' || CAST(r AS VARCHAR) || '.example' AS host,
+                 CASE WHEN r % 2 = 0 THEN '{_ROBOTS_STAR}'
+                      ELSE '{_ROBOTS_NOSTAR}' END AS robots_txt
+               FROM (SELECT DISTINCT doc_id % 5 AS r FROM documents)"""
+            ),
+            3,
+            _SM_RANKS_SQL,
+        )
+        + " ORDER BY host, wave, url",
         "robots_crawl_delays": __import__(
             "esmarc_spark.ops.robots", fromlist=["crawl_delays_sql"]
         ).crawl_delays_sql(

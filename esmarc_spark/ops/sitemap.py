@@ -250,3 +250,62 @@ SELECT host,
 FROM _elems
 WHERE regexp_extract(elem, '<loc>\\s*([^<\\s]+)\\s*</loc>', 1) <> ''
 """
+
+
+def schedule_polite_frontier(
+    candidates: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay_sec: int = 1,
+    host_ranks: DataFrame | None = None,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """:func:`schedule_frontier` plus the politeness CLOCK: joins the
+    per-host ``crawl_delays`` dim (``ops.robots.crawl_delays``; hosts
+    without a declared delay take ``default_delay_sec``) and adds
+    ``earliest_fetch_sec`` = (wave - 1) * delay — the earliest offset,
+    in seconds from crawl start, at which this url may be fetched
+    without violating the host's declared rate. Same scale shape as the
+    base frontier (per-host window + two host-keyed dim joins)."""
+    out = schedule_frontier(candidates, host_ranks, host_col, url_col)
+    if delays is not None:
+        out = out.join(
+            delays.select(
+                F.col("host").alias(host_col), "crawl_delay_sec"
+            ),
+            host_col,
+            "left",
+        )
+    else:
+        out = out.withColumn(
+            "crawl_delay_sec", F.lit(None).cast("long")
+        )
+    return out.withColumn(
+        "crawl_delay_sec",
+        F.coalesce(F.col("crawl_delay_sec"), F.lit(default_delay_sec)),
+    ).withColumn(
+        "earliest_fetch_sec",
+        (F.col("wave") - 1) * F.col("crawl_delay_sec"),
+    )
+
+
+def schedule_polite_frontier_sql(
+    candidates_sql: str,
+    delays_sql: str | None = None,
+    default_delay_sec: int = 1,
+    host_ranks_sql: str | None = None,
+) -> str:
+    """DuckDB replay of :func:`schedule_polite_frontier`."""
+    base = schedule_frontier_sql(candidates_sql, host_ranks_sql)
+    delay_join = (
+        f"LEFT JOIN ({delays_sql}) dl USING (host)" if delays_sql else ""
+    )
+    delay_src = "dl.crawl_delay_sec" if delays_sql else "NULL"
+    return f"""
+WITH _base AS ({base})
+SELECT _base.*,
+       coalesce({delay_src}, {default_delay_sec}) AS crawl_delay_sec,
+       CAST((wave - 1) * coalesce({delay_src}, {default_delay_sec})
+            AS BIGINT) AS earliest_fetch_sec
+FROM _base {delay_join}
+"""

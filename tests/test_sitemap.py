@@ -182,3 +182,57 @@ def test_parse_sitemap_index(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_polite_frontier_earliest_fetch(spark):
+    from pyspark.sql import functions as F
+
+    from esmarc_spark.ops.sitemap import (
+        schedule_polite_frontier,
+        schedule_polite_frontier_sql,
+    )
+
+    cands = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/p1", None, None, 900),
+            ("a.com", "https://a.com/p2", None, None, 500),
+            ("a.com", "https://a.com/p3", None, None, None),
+            ("b.com", "https://b.com/x", None, None, None),
+            ("b.com", "https://b.com/y", None, None, None),
+        ],
+        "host string, url string, lastmod string, changefreq string,"
+        " priority_permille long",
+    ).select(
+        "host", "url", F.col("lastmod").cast("date").alias("lastmod"),
+        "changefreq", "priority_permille",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 10)], "host string, crawl_delay_sec long"
+    )
+    got = {
+        r["url"]: (r["wave"], r["crawl_delay_sec"], r["earliest_fetch_sec"])
+        for r in schedule_polite_frontier(cands, delays, default_delay_sec=2).collect()
+    }
+    assert got == {
+        "https://a.com/p1": (1, 10, 0),
+        "https://a.com/p2": (2, 10, 10),
+        "https://a.com/p3": (3, 10, 20),
+        "https://b.com/x": (1, 2, 0),   # undeclared host: default delay
+        "https://b.com/y": (2, 2, 2),
+    }
+    con = duckdb.connect()
+    con.register("c", cands.toArrow())
+    con.register("dl", delays.toArrow())
+    want = sorted(
+        tuple(map(str, r))
+        for r in con.execute(
+            schedule_polite_frontier_sql(
+                "SELECT * FROM c", "SELECT * FROM dl", 2
+            )
+        ).fetchall()
+    )
+    got_rows = sorted(
+        tuple(map(str, r))
+        for r in schedule_polite_frontier(cands, delays, default_delay_sec=2).collect()
+    )
+    assert got_rows == want
