@@ -272,6 +272,59 @@ def _fold_leftmost_longest(candidates: F.Column) -> F.Column:
     )
 
 
+# --- driver-side plan-construction caches (round 8) -------------------------
+#
+# Profiling the webtext pipeline showed ~0.45s of its per-call BUILD time
+# going to (a) the gazetteer strategy probe — `surf_df.head(...)`, a small
+# Spark job per call — and (b) re-constructing the inline candidate/fold
+# Column trees (hundreds of sequential py4j round trips). Both are pure
+# functions of the gazetteer CONTENT, so repeated calls over the same
+# gazetteer (the bench loop, the per-day incremental loop, streaming
+# micro-batches) can reuse them. Nothing here caches DATA of the corpus —
+# only the dim probe result and unresolved expression trees.
+#
+# The probe cache is keyed by the gazetteer DataFrame OBJECT (held
+# strongly, so an id can never be recycled into a stale hit); the Column
+# cache is keyed by the probed surface set itself.
+
+_GAZ_PROBE_CACHE: dict = {}
+_FOLD_COL_CACHE: dict = {}
+
+
+def _probe_gazetteer(surf_df: DataFrame, gazetteer: DataFrame, limit: int):
+    """head(limit) over the distinct surfaces, memoized per gazetteer
+    DataFrame object + limit."""
+    try:
+        key = (gazetteer, limit)
+        hit = _GAZ_PROBE_CACHE.get(key)
+        if hit is None:
+            hit = surf_df.head(limit)
+            _GAZ_PROBE_CACHE[key] = hit
+            while len(_GAZ_PROBE_CACHE) > 16:
+                _GAZ_PROBE_CACHE.pop(next(iter(_GAZ_PROBE_CACHE)))
+        return hit
+    except TypeError:  # unhashable DataFrame subclass: probe uncached
+        return surf_df.head(limit)
+
+
+def _inline_folded_column(surface_key: tuple, lengths_key: tuple) -> F.Column:
+    """The inline path's anchor->grams->membership->fold Column, memoized
+    by (surface set, lengths) — an unresolved expression tree over the
+    `_toks` column, safely reusable across DataFrames and sessions."""
+    hit = _FOLD_COL_CACHE.get((surface_key, lengths_key))
+    if hit is None:
+        anchor_tokens = sorted({sf.split(" ")[0] for sf in surface_key})
+        grams = _gram_structs(list(lengths_key), _positions(anchor_tokens))
+        candidates = F.filter(
+            grams, lambda g: g.surface_form.isin(*surface_key)
+        )
+        hit = _fold_leftmost_longest(candidates)
+        _FOLD_COL_CACHE[(surface_key, lengths_key)] = hit
+        while len(_FOLD_COL_CACHE) > 16:
+            _FOLD_COL_CACHE.pop(next(iter(_FOLD_COL_CACHE)))
+    return hit
+
+
 def detect_mentions_ngram(
     webtext: DataFrame,
     gazetteer: DataFrame,
@@ -320,7 +373,7 @@ def detect_mentions_ngram(
         # refuse instead of silently reintroducing it; the foreachBatch
         # runner (pipeline.streaming.run_page_triples_foreach_batch) runs
         # the Bloom+broadcast-join batch path per micro-batch
-        head = surf_df.head(max_inline_surfaces + 1)
+        head = _probe_gazetteer(surf_df, gazetteer, max_inline_surfaces + 1)
         if len(head) > max_inline_surfaces:
             raise ValueError(
                 "streaming input with a gazetteer larger than "
@@ -331,7 +384,7 @@ def detect_mentions_ngram(
             )
         use_inline = True
     else:
-        head = surf_df.head(max_inline_surfaces + 1)
+        head = _probe_gazetteer(surf_df, gazetteer, max_inline_surfaces + 1)
         use_inline = len(head) <= max_inline_surfaces
 
     if use_inline:
@@ -370,12 +423,7 @@ def detect_mentions_ngram(
     base = _tokens_base(webtext, extra_cols)
 
     if use_inline:
-        anchor_tokens = sorted({sf.split(" ")[0] for sf in surface_set})
-        grams = _gram_structs(lengths, _positions(anchor_tokens))
-        candidates = F.filter(
-            grams, lambda g: g.surface_form.isin(*surface_set)
-        )
-        folded = _fold_leftmost_longest(candidates)
+        folded = _inline_folded_column(tuple(surface_set), tuple(lengths))
         return base.select(
             "url", "lang", *extra_cols, F.explode(folded).alias("g")
         ).select(
