@@ -146,10 +146,10 @@ def minhash_signatures(
     sh = documents.select("doc_id", th.alias("_th")).select(
         "doc_id", F.explode(_shingle_hashes(F.col("_th"), shingle_k)).alias("h")
     )
+    # SQL-string aggregates for the same py4j-chatter reason as simhash
+    # (round 8): identical expression trees, one JVM parse each
     aggs = [
-        F.min(
-            (F.lit(_mh_a(i)) * F.col("h") + F.lit(_mh_b(i))) % F.lit(MINHASH_P)
-        ).alias(f"mh_{i}")
+        F.expr(f"min((({_mh_a(i)} * h) + {_mh_b(i)}) % {MINHASH_P}) AS mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -332,18 +332,22 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     th = documents.select(
         "doc_id", F.explode(F.array_distinct(tokens_col())).alias("t")
     ).select("doc_id", salted_hash(F.col("t"), 99).alias("h"))
+    # expressions built as SQL strings (round 8): the per-Column py4j
+    # construction of 33 aggregates + a 32-branch CASE chain cost ~0.3s
+    # of driver time PER CALL (~300 sequential JVM round trips); each
+    # F.expr parses JVM-side in one call and yields the identical
+    # expression tree (same CaseWhen/Cast/Sum nodes, same left-assoc
+    # addition), so results and plan shape are unchanged.
     aggs = [
-        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
-        for b in range(bits)
-    ] + [F.count("*").alias("_n")]
+        F.expr(f"sum((shiftright(h, {b}) & 1)) AS _c{b}") for b in range(bits)
+    ] + [F.expr("count(*) AS _n")]
     g = th.groupBy("doc_id").agg(*aggs)
-    value = None
-    for b in range(bits):
-        term = F.when(
-            2 * F.col(f"_c{b}") - F.col("_n") > 0, F.lit(2**b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        value = term if value is None else value + term
-    return g.select("doc_id", value.alias("simhash"))
+    value_sql = " + ".join(
+        f"(CASE WHEN ((2 * _c{b}) - _n) > 0 THEN CAST({2**b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return g.select("doc_id", F.expr(value_sql).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
