@@ -2357,125 +2357,133 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), "n_chars", "lang"
         ).orderBy("lang", "q_permyriad")
 
-    # DICT ORDER IS THE VERIFICATION WINDOW (round 7 — VERDICT r6 #1):
-    # the driver's correctness gate checks the FIRST 50 entries. Policy:
-    # sort ascending by number of green CORRECTNESS_r* rows (zero-row =
-    # new/never-checked first), break ties toward code-touched-this-
-    # round queries, then original position. The audit script for the
-    # reorder is the green-count sweep over CORRECTNESS_r01..r0N —
-    # re-run it every round as queries are added or code changes.
+    # DICT ORDER IS THE VERIFICATION WINDOW (VERDICT r6 #1, rotated
+    # again for round 8 per VERDICT r7 #1): the driver's correctness
+    # gate checks the FIRST 50 entries. Policy (round 8): sort by
+    # (last driver-checked round ASC, green CORRECTNESS_r* row count
+    # ASC, name) — staleness first, so every query outside the previous
+    # window regains a driver row before any just-checked query repeats;
+    # plain ascending-green alone would re-select the newest operators
+    # forever (they hold the fewest greens precisely because they are
+    # new). Audit: sweep CORRECTNESS_r01..r0N for (last_round, greens)
+    # per query and re-sort every round.
     return {
-        # -- zero driver rows yet: new round-7 queries -------------------
-        "polite_frontier": polite_frontier,
-        "robots_crawl_delays": robots_crawl_delays,
-        "sitemap_index_lists": sitemap_index_lists,
-        "hreflang_link_pairs": hreflang_link_pairs,
-        "kg_entity_cards": kg_entity_cards,
-        "page_titles": page_titles,
-        "corpus_stopword_lists": corpus_stopword_lists,
-        "shard_manifests": shard_manifests,
-        "quality_pr_curve": quality_pr_curve,
-        "keywords_incremental": keywords_incremental,
-        "url_percent_normalized": url_percent_normalized,
-        "crawl_frontier": crawl_frontier,
-        "sitemap_fetch_list": sitemap_fetch_list,
-        "kg_two_hop": kg_two_hop,
-        "doc_keywords": doc_keywords,
-        "robots_verdicts_urls": robots_verdicts_urls,
-        "training_release_card": training_release_card,
-        "anchor_gazetteer_incremental": anchor_gazetteer_incremental,
-        "host_pagerank_incremental": host_pagerank_incremental,
-        "fix_mojibake_deep": fix_mojibake_deep,
-        "graph_gated_docs": graph_gated_docs,
-        "sample_temperature_mix": sample_temperature_mix,
-        "bpe_chunk_shards": bpe_chunk_shards,
-        "split_assignments": split_assignments,
-        "leakage_safe_splits": leakage_safe_splits,
-        "contamination_fractions": contamination_fractions,
-        "quality_model_auc": quality_model_auc,
-        "host_language_mixes": host_language_mixes,
-        "noindex_gate": noindex_gate,
-        "rel_canonical_groups": rel_canonical_groups,
-        "host_token_budget": host_token_budget,
-        "url_revisit_diff": url_revisit_diff,
-        "corpus_quantiles": corpus_quantiles,
-        "bpe_pair_counts": bpe_pair_counts,
-        "host_clustering": host_clustering,
-        "kg_sameas_canonical": kg_sameas_canonical,
-        "fix_mojibake": fix_mojibake,
-        # -- exactly one green driver row (r6 first-timers + refactor-
-        #    touched anchor_gazetteer first) ---------------------------
-        "anchor_gazetteer": anchor_gazetteer,
-        "dedup_lines": dedup_lines,
-        "dedup_spans": dedup_spans,
-        "dedup_incremental_survivors": dedup_incremental_survivors,
-        "host_pagerank": host_pagerank,
-        "web_curation_pipeline": web_curation_pipeline,
-        "host_communities": host_communities,
-        "host_triangles": host_triangles,
-        "kg_disambiguated": kg_disambiguated,
-        "kg_negative_samples": kg_negative_samples,
-        "community_quality": community_quality,
-        "bm25_search": bm25_search,
-        "lm_perplexity": lm_perplexity,
-        "quality_model_scores": quality_model_scores,
-        "token_counts_bpe": token_counts_bpe,
-        "dsir_sample": dsir_sample,
-        "semdedup_prune": semdedup_prune,
-        "decontaminate_exact_ngrams": decontaminate_exact_ngrams,
-        "badwords_gate": badwords_gate,
-        "host_quality_rollup": host_quality_rollup,
-        "token_shards": token_shards,
-        # -- 2+ green rows: lowest counts fill the window's last slots --
-        "sample_stratified": sample_stratified,
-        "crawl_pipeline": crawl_pipeline,
-        "host_blocklist": host_blocklist,
-        "text_repetition": text_repetition,
-        "pii_scrub": pii_scrub,
-        # ======= driver window ends here (first 50 entries) =======
-        # -- long-stable tail (3-6 green rows each) ---------------------
-        "chunk_windows": chunk_windows,
-        "dedup_survivors": dedup_survivors,
-        "decontaminate_pairs": decontaminate_pairs,
-        "warc_quarantine": warc_quarantine,
-        "url_canonical_groups": url_canonical_groups,
-        "boilerplate_main_text": boilerplate_main_text,
-        "sim_near_dups_bucketed": sim_near_dups_bucketed,
-        "media_features": media_features,
-        "curate_docs": curate_docs,
-        "enrich_entityfacts_docs": enrich_entityfacts_docs,
-        "enrich_sachgruppen_docs": enrich_sachgruppen_docs,
-        "enrich_wikidata_docs": enrich_wikidata_docs,
-        "enrich_sitelinks_docs": enrich_sitelinks_docs,
-        "enrich_categories_docs": enrich_categories_docs,
-        "enrich_geonames_docs": enrich_geonames_docs,
-        "text_lang_counts": text_lang_counts,
-        "marc_quarantine_counts": marc_quarantine_counts,
-        "warc_ingest": warc_ingest,
-        "dedup_exact_groups": dedup_exact_groups,
-        "dedup_lsh_pairs": dedup_lsh_pairs,
-        "dedup_jaccard": dedup_jaccard,
-        "dedup_simhash": dedup_simhash,
-        "sim_topk": sim_topk,
-        "sim_near_dups": sim_near_dups,
-        "events_asof": events_asof,
+        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -        # -- last driver row r5, 3 green row(s) -
         "media_stats": media_stats,
+        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -        # -- last driver row r5, 4 green row(s) -
+        "curate_docs": curate_docs,
+        "enrich_categories_docs": enrich_categories_docs,
+        "enrich_entityfacts_docs": enrich_entityfacts_docs,
+        "enrich_geonames_docs": enrich_geonames_docs,
+        "enrich_sachgruppen_docs": enrich_sachgruppen_docs,
+        "enrich_sitelinks_docs": enrich_sitelinks_docs,
+        "enrich_wikidata_docs": enrich_wikidata_docs,
         "marc_fixture_triples": marc_fixture_triples,
+        "media_features": media_features,
+        "sim_near_dups_bucketed": sim_near_dups_bucketed,
+        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -        # -- last driver row r5, 5 green row(s) -
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_lsh_pairs": dedup_lsh_pairs,
+        "dedup_simhash": dedup_simhash,
+        "events_asof": events_asof,
+        "sim_near_dups": sim_near_dups,
+        "sim_topk": sim_topk,
+        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -        # -- last driver row r6, 1 green row(s) -
+        "badwords_gate": badwords_gate,
+        "decontaminate_exact_ngrams": decontaminate_exact_ngrams,
+        "dsir_sample": dsir_sample,
+        "host_quality_rollup": host_quality_rollup,
+        "quality_model_scores": quality_model_scores,
+        "semdedup_prune": semdedup_prune,
+        "token_counts_bpe": token_counts_bpe,
+        "token_shards": token_shards,
+        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -        # -- last driver row r6, 2 green row(s) -
+        "chunk_windows": chunk_windows,
+        "crawl_pipeline": crawl_pipeline,
+        "decontaminate_pairs": decontaminate_pairs,
+        "dedup_survivors": dedup_survivors,
+        "host_blocklist": host_blocklist,
+        "pii_scrub": pii_scrub,
+        "sample_stratified": sample_stratified,
+        "text_repetition": text_repetition,
+        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -        # -- last driver row r6, 3 green row(s) -
+        "boilerplate_main_text": boilerplate_main_text,
+        "url_canonical_groups": url_canonical_groups,
+        "warc_quarantine": warc_quarantine,
+        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -        # -- last driver row r6, 4 green row(s) -
+        "marc_quarantine_counts": marc_quarantine_counts,
+        "text_lang_counts": text_lang_counts,
+        "warc_ingest": warc_ingest,
+        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -        # -- last driver row r6, 5 green row(s) -
+        "events_sessions": events_sessions,
         "events_sessions_stateful": events_sessions_stateful,
-        "kg_mentions": kg_mentions,
-        "kg_entity_counts": kg_entity_counts,
-        "kg_triples": kg_triples,
+        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -        # -- last driver row r6, 6 green row(s) -
+        "anti_join_unmatched": anti_join_unmatched,
+        "events_hourly": events_hourly,
         "kg_cooccurrence": kg_cooccurrence,
+        "kg_entity_counts": kg_entity_counts,
+        "kg_mentions": kg_mentions,
+        "kg_triples": kg_triples,
+        "rollup_revenue": rollup_revenue,
+        "semi_join_idfile": semi_join_idfile,
+        "text_stats": text_stats,
         "tpch_q1": tpch_q1,
         "tpch_q3": tpch_q3,
         "tpch_q5": tpch_q5,
-        "semi_join_idfile": semi_join_idfile,
-        "anti_join_unmatched": anti_join_unmatched,
         "window_topn": window_topn,
-        "rollup_revenue": rollup_revenue,
-        "events_hourly": events_hourly,
-        "events_sessions": events_sessions,
-        "text_stats": text_stats,
+        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -        # -- last driver row r7, 1 green row(s) -
+        "anchor_gazetteer_incremental": anchor_gazetteer_incremental,
+        "bpe_chunk_shards": bpe_chunk_shards,
+        "bpe_pair_counts": bpe_pair_counts,
+        "contamination_fractions": contamination_fractions,
+        "corpus_quantiles": corpus_quantiles,
+        "corpus_stopword_lists": corpus_stopword_lists,
+        "crawl_frontier": crawl_frontier,
+        "doc_keywords": doc_keywords,
+        "fix_mojibake": fix_mojibake,
+        "fix_mojibake_deep": fix_mojibake_deep,
+        "graph_gated_docs": graph_gated_docs,
+        "host_clustering": host_clustering,
+        "host_language_mixes": host_language_mixes,
+        "host_pagerank_incremental": host_pagerank_incremental,
+        "host_token_budget": host_token_budget,
+        "hreflang_link_pairs": hreflang_link_pairs,
+        "keywords_incremental": keywords_incremental,
+        "kg_entity_cards": kg_entity_cards,
+        "kg_sameas_canonical": kg_sameas_canonical,
+        "kg_two_hop": kg_two_hop,
+        "leakage_safe_splits": leakage_safe_splits,
+        "noindex_gate": noindex_gate,
+        "page_titles": page_titles,
+        "polite_frontier": polite_frontier,
+        "quality_model_auc": quality_model_auc,
+        "quality_pr_curve": quality_pr_curve,
+        "rel_canonical_groups": rel_canonical_groups,
+        "robots_crawl_delays": robots_crawl_delays,
+        "robots_verdicts_urls": robots_verdicts_urls,
+        "sample_temperature_mix": sample_temperature_mix,
+        "shard_manifests": shard_manifests,
+        "sitemap_fetch_list": sitemap_fetch_list,
+        "sitemap_index_lists": sitemap_index_lists,
+        "split_assignments": split_assignments,
+        "training_release_card": training_release_card,
+        "url_percent_normalized": url_percent_normalized,
+        "url_revisit_diff": url_revisit_diff,
+        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -        # -- last driver row r7, 2 green row(s) -
+        "anchor_gazetteer": anchor_gazetteer,
+        "bm25_search": bm25_search,
+        "community_quality": community_quality,
+        "dedup_incremental_survivors": dedup_incremental_survivors,
+        "dedup_lines": dedup_lines,
+        "dedup_spans": dedup_spans,
+        "host_communities": host_communities,
+        "host_pagerank": host_pagerank,
+        "host_triangles": host_triangles,
+        "kg_disambiguated": kg_disambiguated,
+        "kg_negative_samples": kg_negative_samples,
+        "lm_perplexity": lm_perplexity,
+        "web_curation_pipeline": web_curation_pipeline,
     }
 
 
