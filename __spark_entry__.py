@@ -32,11 +32,19 @@ _T_READERS: dict[tuple, DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
-    df = _T_READERS.get(key)
+    # keyed by the session OBJECT (held strongly, so a recycled id can
+    # never resolve to a stale handle from a garbage-collected session);
+    # bounded so a long-lived multi-session harness cannot grow it
+    key = (spark, sf_dir, name)
+    try:
+        df = _T_READERS.get(key)
+    except TypeError:  # unhashable session subclass
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _T_READERS[key] = df
+        while len(_T_READERS) > 64:
+            _T_READERS.pop(next(iter(_T_READERS)))
     return df
 
 

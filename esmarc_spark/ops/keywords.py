@@ -69,7 +69,10 @@ def _persist_tf(tf: DataFrame) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     while _LIVE_TF:
-        _LIVE_TF.pop().unpersist(blocking=False)
+        try:
+            _LIVE_TF.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # previous frame's session may already be stopped
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     _LIVE_TF.append(tf)
     return tf
